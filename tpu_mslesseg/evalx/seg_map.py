@@ -1,0 +1,153 @@
+"""Segmentation mAP evaluator (box + mask AP50 / AP50-95).
+
+Replaces the Ultralytics validator the reference relies on for per-epoch
+val metrics and best-checkpoint fitness (``results.csv`` columns
+``metrics/mAP50(B/M)`` etc.). COCO-style: greedy score-ordered matching at
+IoU thresholds 0.50:0.05:0.95, 101-point interpolated AP.
+
+Per-image matching runs on device with fixed shapes (padded preds x padded
+GT); only the tiny (score, tp-bits) table crosses to host, where AP is
+accumulated over the val set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IOU_THRESHES = np.arange(0.5, 0.96, 0.05).round(2)  # 10 thresholds
+
+
+def box_iou_pairs(a, b, eps=1e-7):
+    """a [K,4], b [I,4] xyxy -> [K,I] IoU."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, eps)
+
+
+def mask_iou_pairs(pred_masks, gt_masks, eps=1e-7):
+    """pred [K,H,W] {0,1}, gt [I,H,W] {0,1} -> [K,I] IoU via one matmul."""
+    K = pred_masks.shape[0]
+    I = gt_masks.shape[0]
+    p = pred_masks.reshape(K, -1).astype(jnp.float32)
+    g = gt_masks.reshape(I, -1).astype(jnp.float32)
+    inter = p @ g.T
+    union = p.sum(-1)[:, None] + g.sum(-1)[None, :] - inter
+    return inter / jnp.maximum(union, eps)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def match_image(iou, pred_scores, pred_valid, gt_valid):
+    """Greedy COCO matching for one image.
+
+    iou [K,I]; pred_scores [K] (assumed sorted desc by caller or not — the
+    loop walks in score order via argsort); returns tp [K,10] bool.
+    """
+    K, I = iou.shape
+    threshes = jnp.asarray(IOU_THRESHES, jnp.float32)
+    order = jnp.argsort(-pred_scores)
+
+    iou_masked = jnp.where(gt_valid[None, :], iou, 0.0)
+
+    def body(j, carry):
+        claimed, tp = carry  # claimed [10, I], tp [K, 10]
+        k = order[j]
+        row = iou_masked[k]  # [I]
+        avail = jnp.where(claimed, 0.0, row[None, :])  # [10, I]
+        best_iou = avail.max(axis=1)  # [10]
+        best_gt = avail.argmax(axis=1)
+        ok = (best_iou >= threshes) & pred_valid[k]
+        claimed = jnp.where(
+            ok[:, None] & (jax.nn.one_hot(best_gt, I, dtype=bool)), True, claimed
+        )
+        tp = tp.at[k].set(ok)
+        return claimed, tp
+
+    claimed0 = jnp.zeros((10, I), bool)
+    tp0 = jnp.zeros((K, 10), bool)
+    _, tp = jax.lax.fori_loop(0, K, body, (claimed0, tp0))
+    return tp
+
+
+def average_precision(scores, tps, n_gt: int):
+    """101-point interpolated AP per IoU threshold.
+
+    scores [N] (all preds across val set), tps [N,10] bool, n_gt total GT.
+    Returns ap [10].
+    """
+    if n_gt == 0 or len(scores) == 0:
+        return np.zeros(10)
+    order = np.argsort(-scores)
+    tps = tps[order]
+    aps = np.zeros(10)
+    for t in range(10):
+        tp_cum = np.cumsum(tps[:, t])
+        fp_cum = np.cumsum(~tps[:, t])
+        recall = tp_cum / n_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+        # precision envelope, 101-point interp
+        r_interp = np.linspace(0, 1, 101)
+        p_env = np.flip(np.maximum.accumulate(np.flip(precision)))
+        aps[t] = np.interp(r_interp, recall, p_env, left=p_env[0] if len(p_env) else 0, right=0).mean()
+    return aps
+
+
+class SegMapAccumulator:
+    """Accumulates per-image device matches into dataset-level metrics."""
+
+    def __init__(self):
+        self.scores = []
+        self.tp_box = []
+        self.tp_mask = []
+        self.n_gt = 0
+
+    def add_image(self, scores, valid, tp_box, tp_mask, n_gt: int):
+        keep = np.asarray(valid)
+        self.scores.append(np.asarray(scores)[keep])
+        self.tp_box.append(np.asarray(tp_box)[keep])
+        self.tp_mask.append(np.asarray(tp_mask)[keep])
+        self.n_gt += int(n_gt)
+
+    def compute(self) -> dict:
+        if not self.scores:
+            return {k: 0.0 for k in (
+                "map50_b", "map_b", "map50_m", "map_m",
+                "precision_b", "recall_b", "precision_m", "recall_m")}
+        scores = np.concatenate(self.scores)
+        tpb = (
+            np.concatenate(self.tp_box)
+            if self.tp_box
+            else np.zeros((0, 10), bool)
+        )
+        tpm = np.concatenate(self.tp_mask) if self.tp_mask else np.zeros((0, 10), bool)
+        ap_b = average_precision(scores, tpb, self.n_gt)
+        ap_m = average_precision(scores, tpm, self.n_gt)
+
+        # P/R at IoU .5 over all predictions (score-thresholdless, like a
+        # single operating point at conf used for NMS)
+        def pr(tps):
+            tp = tps[:, 0].sum()
+            fp = (~tps[:, 0]).sum()
+            p = tp / max(tp + fp, 1e-9)
+            r = tp / max(self.n_gt, 1e-9)
+            return float(p), float(r)
+
+        pb, rb = pr(tpb)
+        pm, rm = pr(tpm)
+        return {
+            "map50_b": float(ap_b[0]),
+            "map_b": float(ap_b.mean()),
+            "map50_m": float(ap_m[0]),
+            "map_m": float(ap_m.mean()),
+            "precision_b": pb,
+            "recall_b": rb,
+            "precision_m": pm,
+            "recall_m": rm,
+        }

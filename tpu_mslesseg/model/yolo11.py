@@ -1,0 +1,190 @@
+"""YOLO11-seg model family (n/s/m/l/x) in Flax.
+
+Topology parity with the published YOLO11 segmentation architecture the
+reference fine-tunes (`yolo11n-seg`, see SURVEY §2.2): CSP backbone
+(Conv/C3k2/SPPF/C2PSA), PAN-FPN neck, decoupled detect head with DFL box
+regression, class head, 32-dim proto-mask coefficient head, and a Proto
+mask-prototype branch at P3/2.
+
+TPU-first details: NHWC layout, bf16-able compute dtype, static shapes
+(inputs must be divisible by 32), and raw per-level outputs returned as a
+pytree so the loss/ decode stages stay fused under one jit.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, List
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpu_mslesseg.model import blocks
+from tpu_mslesseg.model.blocks import C2PSA, C3k2, Conv, DWConv, Proto, SPPF, upsample2x
+
+# depth multiple, width multiple, max channels — the published YOLO11 scales
+SCALES = {
+    "n": (0.50, 0.25, 1024),
+    "s": (0.50, 0.50, 1024),
+    "m": (0.50, 1.00, 512),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.50, 512),
+}
+
+STRIDES = (8, 16, 32)
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(x + divisor / 2) // divisor * divisor)
+
+
+@dataclass(frozen=True)
+class YoloConfig:
+    nc: int = 1
+    scale: str = "n"
+    reg_max: int = 16
+    nm: int = 32  # mask coefficients
+    npr: int = 256  # proto channels (pre width-scaling)
+    depth: float = field(init=False)
+    width: float = field(init=False)
+    max_ch: int = field(init=False)
+
+    def __post_init__(self):
+        d, w, mc = SCALES[self.scale]
+        object.__setattr__(self, "depth", d)
+        object.__setattr__(self, "width", w)
+        object.__setattr__(self, "max_ch", mc)
+
+    def ch(self, c: int) -> int:
+        """Width-scaled channel count."""
+        return make_divisible(min(c, self.max_ch) * self.width, 8)
+
+    def rep(self, n: int) -> int:
+        """Depth-scaled repeat count."""
+        return max(round(n * self.depth), 1) if n > 1 else n
+
+    @property
+    def c3k_deep(self) -> bool:
+        """m/l/x force c3k=True in every C3k2 (Ultralytics scale rule)."""
+        return self.scale in ("m", "l", "x")
+
+    @property
+    def head_ch(self):
+        """(P3, P4, P5) output channels of the neck."""
+        return (self.ch(256), self.ch(512), self.ch(1024))
+
+    @property
+    def no(self) -> int:
+        """Detect output channels per anchor: 4*reg_max + nc."""
+        return 4 * self.reg_max + self.nc
+
+
+class YOLO11Seg(nn.Module):
+    """Full YOLO11-seg network. Input: NHWC float [B, H, W, 3], H/W % 32 == 0.
+
+    Returns a dict:
+      box:   list of 3 [B, Hi, Wi, 4*reg_max] DFL box distributions
+      cls:   list of 3 [B, Hi, Wi, nc] class logits
+      mcoef: list of 3 [B, Hi, Wi, nm] mask coefficients
+      proto: [B, H/4, W/4, nm] mask prototypes
+    """
+
+    cfg: YoloConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg, dt = self.cfg, self.dtype
+        c3k = cfg.c3k_deep
+        n2 = cfg.rep(2)
+
+        x = x.astype(dt)
+
+        # ---- backbone ----
+        y = Conv(cfg.ch(64), 3, 2, dtype=dt, name="b0")(x, train)       # P1/2
+        y = Conv(cfg.ch(128), 3, 2, dtype=dt, name="b1")(y, train)      # P2/4
+        y = C3k2(cfg.ch(256), n2, c3k, e=0.25, dtype=dt, name="b2")(y, train)
+        y = Conv(cfg.ch(256), 3, 2, dtype=dt, name="b3")(y, train)      # P3/8
+        p3b = C3k2(cfg.ch(512), n2, c3k, e=0.25, dtype=dt, name="b4")(y, train)
+        y = Conv(cfg.ch(512), 3, 2, dtype=dt, name="b5")(p3b, train)    # P4/16
+        p4b = C3k2(cfg.ch(512), n2, True, dtype=dt, name="b6")(y, train)
+        y = Conv(cfg.ch(1024), 3, 2, dtype=dt, name="b7")(p4b, train)   # P5/32
+        y = C3k2(cfg.ch(1024), n2, True, dtype=dt, name="b8")(y, train)
+        y = SPPF(cfg.ch(1024), 5, dtype=dt, name="b9")(y, train)
+        p5b = C2PSA(cfg.ch(1024), n2, dtype=dt, name="b10")(y, train)
+
+        # ---- PAN-FPN neck ----
+        y = jnp.concatenate([upsample2x(p5b), p4b], axis=-1)            # 12
+        n13 = C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h13")(y, train)
+        y = jnp.concatenate([upsample2x(n13), p3b], axis=-1)            # 15
+        p3 = C3k2(cfg.ch(256), n2, c3k, dtype=dt, name="h16")(y, train)  # P3 out
+        y = Conv(cfg.ch(256), 3, 2, dtype=dt, name="h17")(p3, train)
+        y = jnp.concatenate([y, n13], axis=-1)                          # 18
+        p4 = C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h19")(y, train)  # P4 out
+        y = Conv(cfg.ch(512), 3, 2, dtype=dt, name="h20")(p4, train)
+        y = jnp.concatenate([y, p5b], axis=-1)                          # 21
+        p5 = C3k2(cfg.ch(1024), n2, True, dtype=dt, name="h22")(y, train)  # P5 out
+
+        feats = [p3, p4, p5]
+        ch = cfg.head_ch
+
+        # ---- Segment head ----
+        # proto branch off P3
+        proto = Proto(cfg.ch(cfg.npr), cfg.nm, dtype=dt, name="proto")(p3, train)
+
+        c2 = max(16, ch[0] // 4, cfg.reg_max * 4)
+        c3 = max(ch[0], min(cfg.nc, 100))
+        c4 = max(ch[0] // 4, cfg.nm)
+
+        box_out, cls_out, mcoef_out = [], [], []
+        for i, f in enumerate(feats):
+            b = Conv(c2, 3, dtype=dt, name=f"box{i}_0")(f, train)
+            b = Conv(c2, 3, dtype=dt, name=f"box{i}_1")(b, train)
+            b = nn.Conv(4 * cfg.reg_max, (1, 1), use_bias=True, dtype=dt,
+                        name=f"box{i}_2")(b)
+            box_out.append(b)
+
+            c = DWConv(f.shape[-1], 3, dtype=dt, name=f"cls{i}_0dw")(f, train)
+            c = Conv(c3, 1, dtype=dt, name=f"cls{i}_0pw")(c, train)
+            c = DWConv(c3, 3, dtype=dt, name=f"cls{i}_1dw")(c, train)
+            c = Conv(c3, 1, dtype=dt, name=f"cls{i}_1pw")(c, train)
+            c = nn.Conv(cfg.nc, (1, 1), use_bias=True, dtype=dt,
+                        bias_init=cls_bias_init(cfg.nc, STRIDES[i]),
+                        name=f"cls{i}_2")(c)
+            cls_out.append(c)
+
+            m = Conv(c4, 3, dtype=dt, name=f"mc{i}_0")(f, train)
+            m = Conv(c4, 3, dtype=dt, name=f"mc{i}_1")(m, train)
+            m = nn.Conv(cfg.nm, (1, 1), use_bias=True, dtype=dt,
+                        name=f"mc{i}_2")(m)
+            mcoef_out.append(m)
+
+        return {
+            "box": box_out,
+            "cls": cls_out,
+            "mcoef": mcoef_out,
+            "proto": proto,
+        }
+
+
+def cls_bias_init(nc: int, stride: int, imgsz: int = 640):
+    """Detect-head prior: initialize class-logit bias so initial objectness
+    is ~5 objects per 640x640 image (stabilizes early training)."""
+    val = math.log(5 / nc / (imgsz / stride) ** 2)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, val, dtype)
+
+    return init
+
+
+def create_model(nc: int = 1, scale: str = "n", dtype=jnp.float32):
+    cfg = YoloConfig(nc=nc, scale=scale)
+    return YOLO11Seg(cfg=cfg, dtype=dtype), cfg
+
+
+def param_count(params) -> int:
+    import jax
+
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

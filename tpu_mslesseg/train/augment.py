@@ -1,0 +1,204 @@
+"""On-device training augmentation: mosaic + affine + flip + value jitter.
+
+The reference trains with Ultralytics' host-side augmentation pipeline
+(mosaic 1.0, scale 0.5, translate 0.1, fliplr 0.5, hsv_v 0.4, degrees 0 —
+``args.yaml:73-103``). Here augmentation is a *single jitted gather program*
+per batch, built on the observation that mosaic placement followed by an
+axis-aligned affine is itself an affine map per tile: for every output
+pixel we compute its source coordinate in one of the 4 tile images and
+bilinearly sample (nearest for instance maps). No host work, no dynamic
+shapes, fully fused with the train step's device pipeline.
+
+Instance bookkeeping: each source slice carries a uint8 instance-ID map and
+per-instance boxes; tile k's IDs are offset by k*max_inst so the mosaic
+keeps every instance distinct (matching overlap_mask=True semantics).
+Boxes are transformed analytically (exact for scale/translate/flip),
+clipped, and degenerate remnants dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AugConfig(NamedTuple):
+    imgsz: int = 640
+    scale: float = 0.5  # uniform(1-s, 1+s)
+    translate: float = 0.1
+    fliplr: float = 0.5
+    hsv_v: float = 0.4
+    max_inst: int = 16  # per source slice
+    mosaic: bool = True
+
+
+def _sample_bilinear(img, ys, xs, fill: float):
+    """img [H,W] sampled at grid ys/xs [h,w] with constant fill outside."""
+    H, W = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inside, v, fill)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def _sample_nearest(img, ys, xs, fill):
+    H, W = img.shape
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return jnp.where(inside, v, fill)
+
+
+def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
+    """Build one augmented sample from 4 source slices.
+
+    images [4,H,W] float (0..255); instmaps [4,H,W] uint8; boxes [4,I,4]
+    (source-pixel xyxy); valid [4,I] bool.
+    Returns (img [S,S], instmap [S,S] uint8, boxes [4I,4], valid [4I]).
+    """
+    S = cfg.imgsz
+    H, W = images.shape[1], images.shape[2]
+    k_cy, k_cx, k_scale, k_tx, k_ty, k_flip, k_gain = jax.random.split(key, 7)
+
+    if cfg.mosaic:
+        # mosaic center on the 2S x 2S canvas
+        yc = jax.random.uniform(k_cy, (), minval=0.5 * S, maxval=1.5 * S)
+        xc = jax.random.uniform(k_cx, (), minval=0.5 * S, maxval=1.5 * S)
+        # tile k top-left placement so its corner meets the center
+        offs_y = jnp.stack([yc - H, yc - H, yc, yc])
+        offs_x = jnp.stack([xc - W, xc, xc - W, xc])
+        canvas = 2 * S
+    else:
+        # single image centered on an S-canvas (letterbox placement)
+        offs_y = jnp.stack([(S - H) / 2.0] + [jnp.inf] * 3)
+        offs_x = jnp.stack([(S - W) / 2.0] + [jnp.inf] * 3)
+        canvas = S
+
+    # affine: output pixel -> canvas coordinate
+    s = jax.random.uniform(k_scale, (), minval=1 - cfg.scale, maxval=1 + cfg.scale)
+    tx = jax.random.uniform(
+        k_tx, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
+    ) * S
+    ty = jax.random.uniform(
+        k_ty, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
+    ) * S
+    # forward map: canvas point c -> s*(c - canvas/2) + (tx, ty)
+    # inverse: out pixel p -> (p - t)/s + canvas/2
+    ys_out = jnp.arange(S, dtype=jnp.float32)[:, None]
+    xs_out = jnp.arange(S, dtype=jnp.float32)[None, :]
+    cy = (ys_out - ty) / s + canvas / 2.0
+    cx = (xs_out - tx) / s + canvas / 2.0
+
+    img_out = jnp.full((S, S), 114.0)
+    inst_out = jnp.zeros((S, S), jnp.int32)
+    for k in range(4 if cfg.mosaic else 1):
+        ys_k = cy - offs_y[k]
+        xs_k = cx - offs_x[k]
+        v = _sample_bilinear(images[k], ys_k, xs_k, jnp.nan)
+        hit = ~jnp.isnan(v)
+        img_out = jnp.where(hit, v, img_out)
+        m = _sample_nearest(instmaps[k], ys_k, xs_k, 0).astype(jnp.int32)
+        ids = jnp.where(m > 0, m + k * cfg.max_inst, 0)
+        inst_out = jnp.where(hit & (m > 0), ids, inst_out)
+
+    # transform boxes: src -> canvas -> output
+    n_tiles = 4 if cfg.mosaic else 1
+    all_boxes, all_valid = [], []
+    for k in range(n_tiles):
+        b = boxes[k]  # [I,4]
+        bx1 = (b[:, 0] + offs_x[k] - canvas / 2.0) * s + tx
+        by1 = (b[:, 1] + offs_y[k] - canvas / 2.0) * s + ty
+        bx2 = (b[:, 2] + offs_x[k] - canvas / 2.0) * s + tx
+        by2 = (b[:, 3] + offs_y[k] - canvas / 2.0) * s + ty
+        nb = jnp.stack(
+            [jnp.clip(bx1, 0, S), jnp.clip(by1, 0, S), jnp.clip(bx2, 0, S),
+             jnp.clip(by2, 0, S)], axis=-1
+        )
+        ok = valid[k] & ((nb[:, 2] - nb[:, 0]) > 2) & ((nb[:, 3] - nb[:, 1]) > 2)
+        all_boxes.append(nb)
+        all_valid.append(ok)
+    if not cfg.mosaic:
+        pad_n = boxes.shape[1] * 3
+        all_boxes.append(jnp.zeros((pad_n, 4)))
+        all_valid.append(jnp.zeros((pad_n,), bool))
+    out_boxes = jnp.concatenate(all_boxes, axis=0)  # [4I, 4]
+    out_valid = jnp.concatenate(all_valid, axis=0)
+
+    # horizontal flip
+    do_flip = jax.random.uniform(k_flip, ()) < cfg.fliplr
+    img_out = jnp.where(do_flip, img_out[:, ::-1], img_out)
+    inst_out = jnp.where(do_flip, inst_out[:, ::-1], inst_out)
+    fb = jnp.stack(
+        [S - out_boxes[:, 2], out_boxes[:, 1], S - out_boxes[:, 0], out_boxes[:, 3]],
+        axis=-1,
+    )
+    out_boxes = jnp.where(do_flip, fb, out_boxes)
+
+    # brightness (grayscale reduction of HSV value jitter)
+    gain = jax.random.uniform(k_gain, (), minval=1 - cfg.hsv_v, maxval=1 + cfg.hsv_v)
+    img_out = jnp.clip(img_out * gain, 0, 255)
+
+    return img_out, inst_out.astype(jnp.uint8), out_boxes, out_valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def make_batch(key, dataset, idx, cfg: AugConfig = AugConfig()):
+    """Assemble one augmented training batch fully on device.
+
+    dataset: dict of device arrays
+        images [M, H, W] uint8, instmaps [M, H, W] uint8,
+        boxes [M, I, 4] f32, valid [M, I] bool
+    idx: [B, 4] int32 source-slice indices (4 per mosaic).
+
+    Returns dict: images [B,S,S,3] f32 in [0,1], instmap [B,mh,mw] uint8
+    (proto res S/4), boxes [B,4I,4], valid [B,4I].
+    """
+    B = idx.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(k, ids):
+        imgs = dataset["images"][ids].astype(jnp.float32)
+        insts = dataset["instmaps"][ids]
+        bxs = dataset["boxes"][ids]
+        vld = dataset["valid"][ids]
+        return _mosaic_one(k, imgs, insts, bxs, vld, cfg)
+
+    img, inst, boxes, valid = jax.vmap(one)(keys, idx)
+
+    # proto-res instance map (nearest, stride 4)
+    S = cfg.imgsz
+    mh = S // 4
+    centers = (jnp.arange(mh) * 4 + 1.5).astype(jnp.int32)
+    inst_proto = inst[:, centers][:, :, centers]
+
+    x = (img / 255.0)[..., None]
+    x = jnp.repeat(x, 3, axis=-1)
+    return {
+        "images": x,
+        "instmap": inst,
+        "instmap_proto": inst_proto,
+        "boxes": boxes,
+        "valid": valid,
+    }

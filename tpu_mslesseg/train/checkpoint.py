@@ -1,0 +1,55 @@
+"""Orbax checkpointing: best/last selection, resume.
+
+The reference's training artifacts are ``weights/best.pt`` / ``last.pt`` +
+``results.csv`` (success criterion ``train.py:105-116``). Ours are Orbax
+checkpoint directories ``weights/best.ckpt`` / ``last.ckpt`` holding
+{params, batch_stats, ema_params, step} (+ opt_state in last for resume).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path, state, include_opt: bool = False):
+    path = Path(path).absolute()
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "ema_params": state.ema_params,
+        "step": np.asarray(state.step),
+    }
+    if include_opt:
+        payload["opt_state"] = state.opt_state
+    ckptr = ocp.StandardCheckpointer()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path, template=None):
+    """Load a checkpoint dict. With `template` (a matching pytree of arrays),
+    restores with exact structure; otherwise restores raw."""
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+def checkpoint_exists(path) -> bool:
+    p = Path(path)
+    return p.is_dir() and any(p.iterdir())
+
+
+def inference_variables(ckpt, use_ema: bool = True):
+    """Checkpoint dict -> flax variables for model.apply."""
+    params = ckpt["ema_params"] if use_ema and "ema_params" in ckpt else ckpt["params"]
+    return {"params": params, "batch_stats": ckpt["batch_stats"]}

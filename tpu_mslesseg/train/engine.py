@@ -1,0 +1,143 @@
+"""Fold-training engine: the ``entrenar_fold`` equivalent, end to end.
+
+Reference flow (``train.py:346-389``): materialize train/test subsets by
+copying files, write a dataset YAML, call ``YOLO(...).train(...)``, archive,
+delete subsets. Ours: build device-resident datasets for the fold split
+(no file copies), run the jitted train loop with per-epoch validation,
+write ``results.csv`` (reference schema) and best/last checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mslesseg.pipeline.logging_setup import get_logger
+from tpu_mslesseg.train import augment, checkpoint, data as tdata, trainer, validate
+from tpu_mslesseg.train.losses import LossConfig
+from tpu_mslesseg.train.trainer import TrainConfig, fitness
+
+logger = get_logger(__file__)
+
+
+def train_fold(
+    model,
+    fold_test: int,
+    patients: list,
+    plano: str,
+    modalidades: list,
+    mejora: str | None,
+    num_cortes: int | None,
+    dataset_dir,
+    output_dir,
+    cfg: TrainConfig = TrainConfig(),
+    k_folds: int = 5,
+    mesh=None,
+    val_every: int = 1,
+) -> dict:
+    """Train one cross-validation fold. Returns summary dict."""
+    out = Path(output_dir)
+    weights = out / "weights"
+    weights.mkdir(parents=True, exist_ok=True)
+
+    train_ids, test_ids = tdata.fold_patient_split(patients, fold_test, k_folds)
+    logger.info(f"🧠 Fold {fold_test}: train={len(train_ids)} test={len(test_ids)} pacientes")
+
+    train_set = tdata.build_dataset(
+        train_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
+        train_size=cfg.imgsz,
+    )
+    val_set = tdata.build_dataset(
+        test_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
+        train_size=cfg.imgsz, max_inst=train_set.max_inst,
+    )
+    logger.info(
+        f"📦 Dataset en dispositivo: {len(train_set)} cortes train, "
+        f"{len(val_set)} val, max_inst={train_set.max_inst}"
+    )
+
+    steps_per_epoch = max(len(train_set) // cfg.batch_size, 1)
+    state = trainer.init_train_state(model, cfg, steps_per_epoch)
+    step_fn = trainer.make_train_step(model, cfg, steps_per_epoch)
+    loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
+    results = trainer.ResultsWriter(out / "results.csv")
+
+    acfg_mosaic = augment.AugConfig(
+        imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=True
+    )
+    acfg_plain = augment.AugConfig(
+        imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=False
+    )
+    sched = trainer.lr_schedule(cfg, steps_per_epoch)
+
+    dd = train_set.as_dict()
+    key = jax.random.PRNGKey(cfg.seed)
+    best_fit = -1.0
+
+    for epoch in range(1, cfg.epochs + 1):
+        use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic
+        acfg = acfg_mosaic if use_mosaic else acfg_plain
+        key, k_epoch = jax.random.split(key)
+        idx = tdata.epoch_indices(k_epoch, len(train_set), cfg.batch_size, use_mosaic)
+
+        sums, n = {}, 0
+        for s in range(idx.shape[0]):
+            key, k_aug = jax.random.split(key)
+            batch = augment.make_batch(k_aug, dd, idx[s], acfg)
+            state, m = step_fn(state, batch)
+            n += 1
+            for k in ("box", "seg", "cls", "dfl"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+        train_losses = {k: v / max(n, 1) for k, v in sums.items()}
+
+        if epoch % val_every == 0 or epoch == cfg.epochs:
+            variables = {
+                "params": state.ema_params,
+                "batch_stats": state.batch_stats,
+            }
+            val_metrics, val_losses = validate.run_validation(
+                model, variables, val_set, loss_cfg,
+                batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
+            )
+        else:
+            val_metrics, val_losses = {}, {}
+
+        lr = float(sched(int(state.step) - 1))
+        results.write_epoch(epoch, train_losses, val_metrics, val_losses, lr)
+        fit = fitness(val_metrics)
+        logger.info(
+            f"🏋️ Epoch {epoch}/{cfg.epochs} "
+            f"loss(box/seg/cls/dfl)={train_losses.get('box', 0):.3f}/"
+            f"{train_losses.get('seg', 0):.3f}/{train_losses.get('cls', 0):.3f}/"
+            f"{train_losses.get('dfl', 0):.3f} "
+            f"mAP50(M)={val_metrics.get('map50_m', 0):.3f} fitness={fit:.3f}"
+        )
+
+        checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=False)
+        if fit >= best_fit:
+            best_fit = fit
+            checkpoint.save_checkpoint(weights / "best.ckpt", state)
+
+    return {
+        "best_fitness": best_fit,
+        "epochs": cfg.epochs,
+        "train_slices": len(train_set),
+        "val_slices": len(val_set),
+        "weights_dir": str(weights),
+    }
+
+
+def entrenamiento_exitoso(output_dir) -> bool:
+    """Training-success check (reference ``train.py:105-116``): best + last
+    checkpoints and results.csv present."""
+    out = Path(output_dir)
+    return (
+        checkpoint.checkpoint_exists(out / "weights" / "best.ckpt")
+        and checkpoint.checkpoint_exists(out / "weights" / "last.ckpt")
+        and (out / "results.csv").exists()
+    )

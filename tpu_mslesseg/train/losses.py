@@ -1,0 +1,176 @@
+"""YOLO11-seg training losses: CIoU box + DFL + BCE cls + proto-mask BCE.
+
+Functional equivalent of the seg criterion the reference trains with
+(loss weights box 7.5 / cls 0.5 / dfl 1.5, reference ``args.yaml:73-103``;
+SURVEY §2.2). Everything is fixed-shape masked math:
+
+* TAL assignment in input-pixel space;
+* box CIoU + DFL on foreground anchors, weighted by soft target scores,
+  normalized by the target-score sum;
+* class BCE over all anchors against the assigner's soft scores;
+* mask loss: for the top `max_fg` foreground anchors, per-instance BCE
+  between (coeffs @ proto) and the instance's GT mask at proto resolution,
+  cropped to the target box and normalized by its area.
+
+GT masks arrive as a single labeled instance map per image ([B, mh, mw]
+uint8 with instance IDs), matching the overlap_mask=True strategy, so the
+per-anchor GT mask is just (labeled == assigned_id + 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_mslesseg.infer import decode as dec
+from tpu_mslesseg.train import assigner
+
+
+class LossConfig(NamedTuple):
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    reg_max: int = 16
+    nc: int = 1
+    max_fg: int = 64  # fixed budget of anchors entering the mask loss
+    imgsz: int = 640
+
+
+def df_loss(pred_dist, target, reg_max: int = 16):
+    """Distribution focal loss: CE against the two integer bins bracketing
+    the continuous ltrb target. pred_dist [..., 4, reg_max], target [..., 4]."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
+    ce_r = -jnp.take_along_axis(
+        logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1
+    ).squeeze(-1)
+    return (ce_l * wl + ce_r * wr).mean(axis=-1)  # mean over 4 sides
+
+
+def bce_logits(logits, targets):
+    return optax_sigmoid_bce(logits.astype(jnp.float32), targets.astype(jnp.float32))
+
+
+def optax_sigmoid_bce(logits, labels):
+    """Numerically stable BCE-with-logits."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def segmentation_loss(
+    outputs,  # model output dict (box/cls/mcoef lists + proto)
+    gt_boxes,  # [B, M, 4] xyxy in input pixels (zero rows for padding)
+    gt_labels,  # [B, M] int
+    gt_valid,  # [B, M] bool
+    gt_instmap,  # [B, mh, mw] uint8 instance-ID map (0 = background)
+    cfg: LossConfig = LossConfig(),
+):
+    """Returns (total_loss, dict of components). Total is already
+    gain-weighted and scaled by batch size (Ultralytics convention)."""
+    reg_max = cfg.reg_max
+    box_d, cls_l, mcoef = dec.flatten_level_outputs(outputs, reg_max)
+    B, A, _ = box_d.shape
+    proto = outputs["proto"]  # [B, mh, mw, nm]
+    mh, mw = proto.shape[1], proto.shape[2]
+
+    anchors, strides = dec.make_anchors(cfg.imgsz, cfg.imgsz)
+    ltrb = dec.dfl_expectation(box_d, reg_max)  # grid units
+    pd_boxes_grid = dec.dist2bbox(ltrb, anchors[None])
+    pd_boxes_px = pd_boxes_grid * strides[None]
+    pd_scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))
+
+    tgt = assigner.assign(
+        jax.lax.stop_gradient(pd_scores),
+        jax.lax.stop_gradient(pd_boxes_px),
+        anchors * strides,
+        gt_labels,
+        gt_boxes,
+        gt_valid,
+        topk=10,
+        num_classes=cfg.nc,
+    )
+    fg = tgt["fg_mask"]
+    t_scores = tgt["target_scores"]
+    t_boxes_px = tgt["target_bboxes"]
+    t_sum = jnp.maximum(t_scores.sum(), 1.0)
+
+    # --- cls BCE over all anchors ---
+    loss_cls = bce_logits(cls_l, t_scores).sum() / t_sum
+
+    # --- box CIoU + DFL on fg anchors ---
+    weight = t_scores.sum(-1) * fg  # [B, A]
+    t_boxes_grid = t_boxes_px / strides[None]
+    ciou = assigner.bbox_iou_ciou(pd_boxes_grid, t_boxes_grid)
+    loss_box = ((1.0 - ciou) * weight).sum() / t_sum
+
+    t_ltrb = jnp.concatenate(
+        [anchors[None] - t_boxes_grid[..., :2], t_boxes_grid[..., 2:] - anchors[None]],
+        axis=-1,
+    )
+    t_ltrb = jnp.clip(t_ltrb, 0, reg_max - 1 - 0.01)
+    dfl = df_loss(box_d.reshape(B, A, 4, reg_max), t_ltrb, reg_max)
+    loss_dfl = (dfl * weight).sum() / t_sum
+
+    # --- mask loss on a fixed budget of fg anchors ---
+    k = min(cfg.max_fg, A)
+    fg_score = fg.astype(jnp.float32) * (1.0 + t_scores.sum(-1))
+    _, fg_idx = jax.lax.top_k(fg_score, k)  # [B, k]
+    sel_valid = jnp.take_along_axis(fg, fg_idx, axis=1)  # [B, k]
+    sel_coef = jnp.take_along_axis(mcoef, fg_idx[..., None], axis=1)  # [B,k,nm]
+    sel_gt = jnp.take_along_axis(tgt["target_gt_idx"], fg_idx, axis=1)  # [B,k]
+    sel_box_px = jnp.take_along_axis(t_boxes_px, fg_idx[..., None], axis=1)
+
+    # predicted mask logits at proto res
+    pred_masks = jnp.einsum(
+        "bkc,bhwc->bkhw", sel_coef.astype(jnp.float32), proto.astype(jnp.float32)
+    )
+    # GT instance masks from the labeled map
+    inst_ids = (sel_gt + 1).astype(jnp.int32)  # [B, k]
+    gt_masks = (
+        gt_instmap[:, None, :, :].astype(jnp.int32) == inst_ids[:, :, None, None]
+    ).astype(jnp.float32)
+
+    # crop region: target box scaled to proto res
+    scale = mw / cfg.imgsz
+    bx = sel_box_px * scale  # [B,k,4]
+    rows = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
+    cols = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
+    x1 = bx[..., 0][..., None, None]
+    y1 = bx[..., 1][..., None, None]
+    x2 = bx[..., 2][..., None, None]
+    y2 = bx[..., 3][..., None, None]
+    in_box = ((cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)).astype(
+        jnp.float32
+    )
+
+    bce = optax_sigmoid_bce(pred_masks, gt_masks) * in_box
+    # cropped-BCE mean over the map, divided by the box area *fraction*
+    # == cropped-BCE sum divided by box area in proto pixels
+    area = jnp.maximum(
+        (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0
+    )  # [B,k]
+    per_anchor = bce.sum(axis=(2, 3)) / area
+    per_anchor = per_anchor * sel_valid
+    n_fg = jnp.maximum(fg.sum(), 1.0)
+    loss_seg = per_anchor.sum() / n_fg
+
+    total = (
+        cfg.box_gain * loss_box
+        + cfg.box_gain * loss_seg
+        + cfg.cls_gain * loss_cls
+        + cfg.dfl_gain * loss_dfl
+    ) * B
+    return total, {
+        "box": loss_box,
+        "seg": loss_seg,
+        "cls": loss_cls,
+        "dfl": loss_dfl,
+        "fg_count": fg.sum(),
+    }

@@ -1,0 +1,132 @@
+"""Per-epoch validation: val losses + box/mask mAP on the held-out fold.
+
+The counterpart of the Ultralytics validator that fills the reference's
+``results.csv`` metric columns. One jitted program per batch produces
+losses, NMS'd detections and per-image COCO match bits; the host only
+accumulates AP tables (evalx/seg_map.py).
+
+Mask IoU is computed at proto resolution (160x160 for 640 input) — the
+mask logits' native grid; matching at this scale is within noise of
+full-resolution IoU for lesion-sized objects and keeps the val pass fully
+fused.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mslesseg.evalx import seg_map
+from tpu_mslesseg.infer import decode as dec
+from tpu_mslesseg.infer.nms import nms_batch
+from tpu_mslesseg.train import augment
+from tpu_mslesseg.train.losses import LossConfig, segmentation_loss
+
+
+def val_aug_config(max_inst: int, imgsz: int = 640) -> augment.AugConfig:
+    """Deterministic letterbox 'augmentation' (no mosaic/jitter/flip)."""
+    return augment.AugConfig(
+        imgsz=imgsz, scale=0.0, translate=0.0, fliplr=0.0, hsv_v=0.0,
+        max_inst=max_inst, mosaic=False,
+    )
+
+
+def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
+                  conf: float = 0.001, iou: float = 0.7):
+    """Returns jitted fn(variables, batch) -> (losses, match data).
+
+    conf 0.001: mAP needs the full score sweep, not the deploy threshold.
+    """
+
+    @jax.jit
+    def step(variables, batch):
+        out = model.apply(variables, batch["images"], train=False)
+        labels = jnp.zeros(batch["valid"].shape, jnp.int32)
+        _, parts = segmentation_loss(
+            out, batch["boxes"], labels, batch["valid"],
+            batch["instmap_proto"], loss_cfg,
+        )
+
+        reg_max = model.cfg.reg_max
+        box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
+        S = batch["images"].shape[1]
+        anchors, strides = dec.make_anchors(S, S)
+        boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
+        scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
+        nb, ns, keep, idx = nms_batch(boxes, scores, conf, iou, max_det)
+        kept_coef = jnp.take_along_axis(mcoef, idx[..., None], axis=1)
+
+        proto = out["proto"]
+        mh, mw = proto.shape[1], proto.shape[2]
+
+        def per_image(proto_i, coef_i, boxes_i, keep_i, scores_i, instmap_i, valid_i, gtb_i):
+            # predicted masks at proto res, cropped to boxes
+            logits = jnp.einsum("kc,hwc->khw", coef_i.astype(jnp.float32),
+                                proto_i.astype(jnp.float32))
+            bx = boxes_i * (mw / S)
+            rows = jnp.arange(mh, dtype=jnp.float32)[None, :, None]
+            cols = jnp.arange(mw, dtype=jnp.float32)[None, None, :]
+            in_box = (
+                (cols >= bx[:, 0][:, None, None]) & (cols < bx[:, 2][:, None, None])
+                & (rows >= bx[:, 1][:, None, None]) & (rows < bx[:, 3][:, None, None])
+            )
+            pmasks = (logits > 0) & in_box & keep_i[:, None, None]
+
+            I = valid_i.shape[0]
+            ids = jnp.arange(1, I + 1, dtype=jnp.int32)
+            gmasks = instmap_i[None, :, :].astype(jnp.int32) == ids[:, None, None]
+            gmasks = gmasks & valid_i[:, None, None]
+
+            iou_b = seg_map.box_iou_pairs(boxes_i, gtb_i)
+            iou_m = seg_map.mask_iou_pairs(pmasks, gmasks)
+            tp_b = seg_map.match_image(iou_b, scores_i, keep_i, valid_i)
+            tp_m = seg_map.match_image(iou_m, scores_i, keep_i, valid_i)
+            return tp_b, tp_m
+
+        tp_b, tp_m = jax.vmap(per_image)(
+            proto, kept_coef, nb, keep, ns,
+            batch["instmap_proto"], batch["valid"], batch["boxes"],
+        )
+        losses = {k: parts[k] for k in ("box", "seg", "cls", "dfl")}
+        return losses, {"scores": ns, "keep": keep, "tp_b": tp_b, "tp_m": tp_m}
+
+    return step
+
+
+def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
+                   batch_size: int = 16, imgsz: int = 640):
+    """Full val pass -> (val_metrics dict for results.csv, val_losses dict)."""
+    acfg = val_aug_config(val_dset.max_inst, imgsz)
+    step = make_val_step(model, loss_cfg)
+    acc = seg_map.SegMapAccumulator()
+    n = len(val_dset)
+    dd = val_dset.as_dict()
+    loss_sums, n_batches = {}, 0
+    key = jax.random.PRNGKey(0)
+
+    for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0), batch_size):
+        idx_np = np.arange(start, min(start + batch_size, n))
+        if len(idx_np) < batch_size:  # pad final batch by repeating last
+            idx_np = np.concatenate([idx_np, np.full(batch_size - len(idx_np), idx_np[-1])])
+            real = len(np.arange(start, min(start + batch_size, n)))
+        else:
+            real = batch_size
+        idx = jnp.asarray(idx_np)[:, None].repeat(4, axis=1)
+        batch = augment.make_batch(key, dd, idx, acfg)
+        losses, match = step(variables, batch)
+        n_batches += 1
+        for k, v in losses.items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        for b in range(real):
+            n_gt = int(np.asarray(batch["valid"][b]).sum())
+            acc.add_image(
+                match["scores"][b], match["keep"][b],
+                match["tp_b"][b], match["tp_m"][b], n_gt,
+            )
+
+    metrics = acc.compute()
+    val_losses = {k: v / max(n_batches, 1) for k, v in loss_sums.items()}
+    return metrics, val_losses

@@ -1,0 +1,204 @@
+"""Pipeline orchestrator: sequences the eight stages.
+
+Reference: ``ejecutar_pipeline.py`` — same CLI vocabulary
+(``--plano --modalidad --num_cortes --mejora --epochs --k_folds
+--fold_test/--paciente_id --umbral_consenso --completo --entrenar
+--limpiar``), same modes (full experiment vs single patient), same
+consensus gating (only when all three planes' volumes exist), same
+incremental-resume behavior (every stage skips existing artifacts).
+
+Run:  python -m tpu_mslesseg.pipeline.ejecutar_pipeline --completo \
+          --plano axial --modalidad FLAIR --num_cortes P50 --epochs 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tpu_mslesseg.pipeline.logging_setup import configure_logging, get_logger
+from tpu_mslesseg.pipeline.modelo import Modelo
+from tpu_mslesseg.pipeline.paciente import Paciente, calcular_fold
+from tpu_mslesseg.pipeline.paths import existe_modelo_entrenado
+from tpu_mslesseg.pipeline.stages import (
+    eval as eval_stage,
+    extraer_dataset,
+    generar_consenso,
+    generar_predicciones,
+    promediar_folds,
+    reconstruir_volumen,
+    setup as setup_stage,
+    train as train_stage,
+)
+from tpu_mslesseg.preproc.slices import int_o_percentil
+
+logger = get_logger(__file__)
+
+PLANOS_ANATOMICOS = ("axial", "coronal", "sagital")
+
+
+def verificar_folds_consenso(modelo, epochs, folds, root=None) -> bool:
+    """Consensus gate: every fold must have all three plane volumes on disk
+    (reference ``ejecutar_pipeline.py:114-138``)."""
+    from pathlib import Path
+
+    from tpu_mslesseg.pipeline.paciente import listar_pacientes
+
+    root = Path(root) if root else Path.cwd()
+    base = root / "pred_vols" / f"{modelo.base_path}_{epochs}epochs"
+    for k in folds:
+        fold_dir = base / f"fold{k}"
+        if not fold_dir.is_dir():
+            return False
+        try:
+            pacientes = listar_pacientes(fold_dir)
+        except FileNotFoundError:
+            return False
+        for pid in pacientes:
+            for plano in PLANOS_ANATOMICOS:
+                if not (fold_dir / pid / f"{pid}_{plano}.nii.gz").exists():
+                    return False
+    return True
+
+
+def ejecutar_pipeline(
+    modelo: Modelo,
+    epochs: int = 50,
+    paciente: Paciente | None = None,
+    entrenar: bool = False,
+    limpiar: bool = False,
+    umbral_consenso: int = 2,
+    train_cfg=None,
+):
+    """Full pipeline for one experiment config (or one patient)."""
+    # Stage 0: dataset setup
+    setup_stage.ejecutar_setup_pipeline()
+
+    # Stage 1: slice extraction
+    extraer_dataset.ejecutar_dataset_pipeline(
+        modelo, paciente=paciente, k_folds=modelo.k_folds, limpiar=limpiar
+    )
+
+    folds = (
+        [calcular_fold(paciente.id, modelo.k_folds)]
+        if paciente is not None
+        else list(range(1, modelo.k_folds + 1))
+    )
+
+    # Stage 2: training (optional; skipped per-fold when weights exist)
+    for k in folds:
+        if existe_modelo_entrenado(modelo, epochs, k):
+            logger.skip(f"⏩ Modelo del fold {k} ya entrenado.")
+            continue
+        if not entrenar:
+            logger.warning(
+                f"⚠️ Fold {k} sin modelo entrenado y --entrenar no indicado."
+            )
+            continue
+        train_stage.ejecutar_train_pipeline(
+            modelo, epochs=epochs, fold_test=k, limpiar=limpiar, train_cfg=train_cfg
+        )
+
+    # Stages 3-4: prediction + reconstruction
+    for k in folds:
+        if not existe_modelo_entrenado(modelo, epochs, k):
+            logger.warning(f"⚠️ Sin modelo para el fold {k}; se omiten predicciones.")
+            continue
+        generar_predicciones.ejecutar_predicciones_pipeline(
+            modelo, epochs=epochs, k_folds=modelo.k_folds,
+            fold_test=None if paciente is not None else k,
+            paciente=paciente, limpiar=limpiar,
+        )
+        reconstruir_volumen.ejecutar_reconstrucciones_pipeline(
+            modelo, epochs=epochs, k_folds=modelo.k_folds,
+            fold_test=None if paciente is not None else k,
+            paciente=paciente, limpiar=limpiar,
+        )
+
+    # Stage 6: per-plane evaluation
+    for k in folds:
+        eval_stage.ejecutar_eval_pipeline(
+            modelo, epochs=epochs, k_folds=modelo.k_folds,
+            fold_test=None if paciente is not None else k,
+            paciente=paciente, limpiar=limpiar,
+        )
+
+    # Stage 5+6: consensus + consensus eval (full-experiment only, gated on
+    # all three planes being reconstructed)
+    if paciente is None and verificar_folds_consenso(modelo, epochs, folds):
+        for k in folds:
+            generar_consenso.ejecutar_consenso_pipeline(
+                modelo, epochs=epochs, k_folds=modelo.k_folds, fold_test=k,
+                umbral=umbral_consenso, limpiar=limpiar,
+            )
+            eval_stage.ejecutar_eval_pipeline(
+                modelo, epochs=epochs, k_folds=modelo.k_folds, fold_test=k,
+                plano_forzado="consenso", limpiar=limpiar,
+            )
+    elif paciente is None:
+        logger.info(
+            "ℹ️ Consenso omitido: faltan volúmenes de alguno de los tres planos."
+        )
+
+    # Stage 7: cross-fold aggregation (full-experiment only)
+    if paciente is None:
+        promediar_folds.ejecutar_promediar_folds_pipeline(
+            modelo, epochs=epochs, k_folds=modelo.k_folds
+        )
+        if verificar_folds_consenso(modelo, epochs, folds):
+            promediar_folds.ejecutar_promediar_folds_pipeline(
+                modelo, epochs=epochs, k_folds=modelo.k_folds,
+                plano_forzado="consenso",
+            )
+
+    logger.header("\n🏁 Pipeline completado.")
+
+
+def parsear_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Pipeline completo YOLO-MSLesSeg (TPU-native)."
+    )
+    parser.add_argument("--plano", required=True, choices=list(PLANOS_ANATOMICOS))
+    parser.add_argument(
+        "--modalidad", nargs="+", choices=["T1", "T2", "FLAIR"],
+        default=["T1", "T2", "FLAIR"],
+    )
+    parser.add_argument("--num_cortes", type=int_o_percentil, required=True)
+    parser.add_argument("--mejora", default=None, choices=["HE", "CLAHE", "GC", "LT"])
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--k_folds", type=int, default=5)
+    parser.add_argument("--umbral_consenso", type=int, default=2, choices=[2, 3])
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--completo", action="store_true")
+    group.add_argument("--paciente_id", type=str)
+    parser.add_argument("--entrenar", action="store_true")
+    parser.add_argument("--limpiar", action="store_true")
+    return parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+
+def main(argv=None):
+    configure_logging(log_file="pipeline.log")
+    args = parsear_args(argv)
+    modelo = Modelo(
+        plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
+        k_folds=args.k_folds, mejora=args.mejora,
+    )
+    paciente = None
+    if args.paciente_id:
+        paciente = Paciente(
+            id=args.paciente_id, plano=modelo.plano, modalidad=modelo.modalidad,
+            mejora=modelo.mejora, dataset_dir="MSLesSeg-Dataset/train",
+        )
+    try:
+        ejecutar_pipeline(
+            modelo=modelo, epochs=args.epochs, paciente=paciente,
+            entrenar=args.entrenar, limpiar=args.limpiar,
+            umbral_consenso=args.umbral_consenso,
+        )
+    except Exception as e:
+        logger.error(f"❌ Error en el pipeline: {e}")
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

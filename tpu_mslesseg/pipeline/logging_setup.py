@@ -60,6 +60,9 @@ class NoColorFormatter(logging.Formatter):
 
 def configure_logging(level=logging.INFO, log_file="pipeline.log"):
     """Install console + file handlers on the root logger (idempotent)."""
+    # third-party INFO spam stays out of the pipeline log
+    for noisy in ("orbax", "absl", "jax", "etils"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
     root = logging.getLogger()
     root.setLevel(level)
     root.handlers.clear()

@@ -1,0 +1,188 @@
+"""Stage 3 — 2D prediction: trained model over every test-fold slice.
+
+Reference: ``scripts/generar_predicciones.py`` — a serial per-image Python
+loop (SURVEY §3.4 hot loop). Here each patient's slices run as ONE fused
+device call (SlicePredictor) and only the final binary PNGs touch disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tpu_mslesseg.io import png
+from tpu_mslesseg.model.yolo11 import create_model
+from tpu_mslesseg.pipeline.logging_setup import evaluate_results, get_logger, log_fold_status
+from tpu_mslesseg.pipeline.modelo import Modelo
+from tpu_mslesseg.pipeline.paciente import Paciente, calcular_fold, listar_pacientes
+from tpu_mslesseg.pipeline.paths import ConfigPred
+from tpu_mslesseg.preproc.slices import int_o_percentil
+from tpu_mslesseg.train import checkpoint
+from tpu_mslesseg.infer.predictor import SlicePredictor
+
+logger = get_logger(__file__)
+
+_SLICE_RE = re.compile(r".*_(\d+)(?:_[^_]*)?\.png$")
+
+
+def cargar_predictor(config: ConfigPred, slice_hw) -> SlicePredictor:
+    """Load best checkpoint for the fold and compile the fused predictor."""
+    import os
+
+    model, _ = create_model(nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"))
+    ckpt = checkpoint.load_checkpoint(config.model_path)
+    variables = checkpoint.inference_variables(ckpt)
+    imgsz = int(os.environ.get("TPU_MSLESSEG_IMGSZ", "640"))
+    return SlicePredictor(model, variables, slice_hw=slice_hw, imgsz=imgsz)
+
+
+def indices_de_imagenes(images_dir: Path) -> list:
+    out = set()
+    for f in images_dir.glob("*.png"):
+        m = _SLICE_RE.match(f.name)
+        if m:
+            out.add(int(m.group(1)))
+    return sorted(out)
+
+
+def predicciones_completas(dirs: dict) -> bool:
+    imgs = indices_de_imagenes(dirs["images"]) if dirs["images"].is_dir() else []
+    if not imgs:
+        return False
+    preds = dirs["pred_masks"]
+    if not preds.is_dir():
+        return False
+    have = indices_de_imagenes(preds)
+    return set(imgs) <= set(have)
+
+
+def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
+    """Predict all slices of one patient in one device call."""
+    dirs = config.paciente_dirs(paciente_id)
+    if predicciones_completas(dirs):
+        return None  # skip
+
+    indices = indices_de_imagenes(dirs["images"])
+    if not indices:
+        logger.warning(f"⚠️ Sin imágenes extraídas para {paciente_id}.")
+        return False
+
+    paciente = Paciente(
+        id=paciente_id, plano=config.modelo.plano, modalidad=config.modelo.modalidad,
+        mejora=config.modelo.mejora, dataset_dir=config.dataset_entrada,
+    )
+    # enhanced slices straight from the volume (bit-equivalent to reading
+    # back the stage-1 PNGs, which round-trip losslessly)
+    from tpu_mslesseg.preproc import enhance
+
+    raw = paciente.cortes_imagen_batch(indices, config.modelo.modalidad[0])
+    imgs = np.asarray(enhance.enhance_batch(raw, config.modelo.mejora))
+
+    hw = imgs.shape[1:]
+    if hw not in predictor_cache:
+        predictor_cache[hw] = cargar_predictor(config, hw)
+    masks = np.asarray(predictor_cache[hw](imgs))
+
+    dirs["pred_masks"].mkdir(parents=True, exist_ok=True)
+    mod = paciente.modalidad_str
+    for j, i in enumerate(indices):
+        png.save_pred_png(
+            dirs["pred_masks"] / f"{paciente_id}_{mod}_{i}.png", masks[j]
+        )
+    return True
+
+
+def ejecutar_flujo_pred(config: ConfigPred, limpiar=False, verbose=False):
+    if verbose:
+        target = (
+            f"paciente {config.paciente}"
+            if config.es_paciente_individual
+            else f"fold {config.fold_test}"
+        )
+        logger.header(f"\n🔮 Generando predicciones 2D para el {target}.")
+
+    if limpiar:
+        if verbose:
+            logger.info("♻️ Limpiando predicciones previas.")
+        config.limpiar_predicciones()
+
+    config.verificar_paths()
+    cache = {}
+
+    if config.es_paciente_individual:
+        res = procesar_paciente_predicciones(config.paciente.id, config, cache)
+        if res is None:
+            logger.skip("⏩ Predicciones ya existentes.")
+        elif res:
+            logger.info("✅ Predicciones generadas.")
+        return res
+
+    resultados = []
+    pacientes = (
+        listar_pacientes(config.dataset_fold_dir)
+        if config.dataset_fold_dir.is_dir()
+        else []
+    )
+    for pid in pacientes:
+        try:
+            resultados.append(procesar_paciente_predicciones(pid, config, cache))
+        except Exception as e:
+            logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
+    estado = evaluate_results(resultados)
+    log_fold_status(logger, estado, config.fold_test)
+    return estado
+
+
+def parsear_args(argv=None):
+    parser = argparse.ArgumentParser(description="Generar predicciones 2D.")
+    parser.add_argument("--plano", required=True, choices=["axial", "coronal", "sagital"])
+    parser.add_argument(
+        "--modalidad", nargs="+", choices=["T1", "T2", "FLAIR"],
+        default=["T1", "T2", "FLAIR"],
+    )
+    parser.add_argument("--num_cortes", type=int_o_percentil, required=True)
+    parser.add_argument("--mejora", default=None, choices=["HE", "CLAHE", "GC", "LT"])
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--k_folds", type=int, default=5)
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--fold_test", type=int)
+    group.add_argument("--paciente_id", type=str)
+    parser.add_argument("--limpiar", action="store_true")
+    return parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+
+def main(argv=None):
+    args = parsear_args(argv)
+    modelo = Modelo(
+        plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
+        k_folds=args.k_folds, mejora=args.mejora,
+    )
+    paciente = None
+    if args.paciente_id:
+        paciente = Paciente(
+            id=args.paciente_id, plano=modelo.plano, modalidad=modelo.modalidad,
+            mejora=modelo.mejora, dataset_dir="MSLesSeg-Dataset/train",
+        )
+    config = ConfigPred(
+        modelo=modelo, epochs=args.epochs, k_folds=args.k_folds,
+        fold_test=args.fold_test, paciente=paciente,
+    )
+    ejecutar_flujo_pred(config, limpiar=args.limpiar, verbose=True)
+
+
+def ejecutar_predicciones_pipeline(
+    modelo, epochs=50, k_folds=5, fold_test=None, paciente=None, limpiar=False
+):
+    config = ConfigPred(
+        modelo=modelo, epochs=epochs, k_folds=k_folds,
+        fold_test=fold_test, paciente=paciente,
+    )
+    return ejecutar_flujo_pred(config, limpiar=limpiar)
+
+
+if __name__ == "__main__":
+    main()

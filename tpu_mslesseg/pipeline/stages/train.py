@@ -1,0 +1,117 @@
+"""Stage 2 — training: per-fold YOLO11-seg fine-tune.
+
+Reference: ``scripts/train.py``. Same CLI and artifacts (weights/best+last,
+results.csv, skip-if-trained); internally the file-copy subset
+materialization and YAML plumbing are replaced by the in-memory fold split
+and the jitted train loop (train/engine.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tpu_mslesseg.model.yolo11 import create_model
+from tpu_mslesseg.pipeline.logging_setup import get_logger
+from tpu_mslesseg.pipeline.modelo import Modelo
+from tpu_mslesseg.pipeline.paciente import listar_pacientes
+from tpu_mslesseg.pipeline.paths import ConfigTrain, existe_modelo_entrenado
+from tpu_mslesseg.preproc.slices import int_o_percentil, resolver_num_cortes
+from tpu_mslesseg.train import engine
+from tpu_mslesseg.train.trainer import TrainConfig
+
+logger = get_logger(__file__)
+
+
+def ejecutar_flujo_train(
+    config: ConfigTrain, limpiar=False, verbose=False, train_cfg: TrainConfig = None,
+    scale: str = "n",
+):
+    if verbose:
+        logger.header(
+            f"\n🏋️ Entrenando fold {config.fold_test} "
+            f"({config.modelo.model_string}, {config.epochs} epochs)."
+        )
+
+    if limpiar:
+        if verbose:
+            logger.info("♻️ Limpiando entrenamiento previo.")
+        config.limpiar_entrenamiento()
+
+    if existe_modelo_entrenado(
+        config.modelo, config.epochs, config.fold_test, root=config.root
+    ) and engine.entrenamiento_exitoso(config.fold_dir):
+        logger.skip(f"⏩ Modelo del fold {config.fold_test} ya entrenado.")
+        return None
+
+    config.verificar_paths()
+
+    num_cortes, _ = resolver_num_cortes(
+        num_cortes=config.modelo.num_cortes,
+        input_dir=config.dataset_entrada,
+        plano=config.modelo.plano,
+        modalidad=config.modelo.modalidad,
+    )
+
+    model, _ = create_model(nc=1, scale=scale)
+    cfg = train_cfg or TrainConfig(epochs=config.epochs)
+    patients = listar_pacientes(config.dataset_entrada)
+    summary = engine.train_fold(
+        model=model,
+        fold_test=config.fold_test,
+        patients=patients,
+        plano=config.modelo.plano,
+        modalidades=config.modelo.modalidad,
+        mejora=config.modelo.mejora,
+        num_cortes=num_cortes,
+        dataset_dir=config.dataset_entrada,
+        output_dir=config.fold_dir,
+        cfg=cfg,
+        k_folds=config.modelo.k_folds,
+    )
+    logger.info(f"✅ Entrenamiento del fold {config.fold_test} completado: {summary}")
+    return True
+
+
+def parsear_args(argv=None):
+    parser = argparse.ArgumentParser(description="Entrenar YOLO11-seg por fold.")
+    parser.add_argument("--plano", required=True, choices=["axial", "coronal", "sagital"])
+    parser.add_argument(
+        "--modalidad", nargs="+", choices=["T1", "T2", "FLAIR"],
+        default=["T1", "T2", "FLAIR"],
+    )
+    parser.add_argument("--num_cortes", type=int_o_percentil, required=True)
+    parser.add_argument("--mejora", default=None, choices=["HE", "CLAHE", "GC", "LT"])
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--k_folds", type=int, default=5)
+    parser.add_argument("--fold_test", type=int, required=True)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--scale", default="n", choices=["n", "s", "m", "l", "x"])
+    parser.add_argument("--limpiar", action="store_true")
+    return parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+
+def main(argv=None):
+    args = parsear_args(argv)
+    modelo = Modelo(
+        plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
+        k_folds=args.k_folds, mejora=args.mejora,
+    )
+    config = ConfigTrain(modelo=modelo, epochs=args.epochs, fold_test=args.fold_test)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch)
+    ejecutar_flujo_train(
+        config, limpiar=args.limpiar, verbose=True, train_cfg=cfg, scale=args.scale
+    )
+
+
+def ejecutar_train_pipeline(
+    modelo, epochs=50, fold_test=1, limpiar=False, train_cfg=None, scale="n"
+):
+    config = ConfigTrain(modelo=modelo, epochs=epochs, fold_test=fold_test)
+    return ejecutar_flujo_train(
+        config, limpiar=limpiar, train_cfg=train_cfg, scale=scale
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,22 @@ def save_checkpoint(path, state, include_opt: bool = False):
 
 
 def load_checkpoint(path, template=None):
-    """Load a checkpoint dict. With `template` (a matching pytree of arrays),
-    restores with exact structure; otherwise restores raw."""
+    """Load a checkpoint dict, device-agnostically.
+
+    Without a template, the structure is reconstructed from checkpoint
+    metadata as ShapeDtypeStructs so arrays restore onto the *current*
+    backend (a raw restore pins to the saving device's sharding and fails
+    across backends, e.g. CPU-saved -> TPU-restored)."""
     path = Path(path).absolute()
     ckptr = ocp.StandardCheckpointer()
-    if template is not None:
-        return ckptr.restore(path, template)
-    return ckptr.restore(path)
+    if template is None:
+        meta = ckptr.metadata(path)
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+            meta.item_metadata,
+        )
+    return ckptr.restore(path, template)
 
 
 def checkpoint_exists(path) -> bool:

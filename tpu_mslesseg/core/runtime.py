@@ -1,0 +1,37 @@
+"""Runtime placement helpers: host-prep on CPU, hot loops on the default
+(TPU) backend.
+
+Data preparation (slice extraction, resize, labeling) is throwaway-shape
+eager work; dispatching it through the TPU runs a fresh device compile per
+op/shape, which on a tunneled chip costs seconds each. These helpers pin
+such work to the always-present CPU backend and explicitly place the final
+arrays on the accelerator.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+
+
+def cpu_device():
+    return jax.local_devices(backend="cpu")[0]
+
+
+@contextmanager
+def host_compute():
+    """Run eager jnp prep work on the CPU backend."""
+    with jax.default_device(cpu_device()):
+        yield
+
+
+def to_accelerator(tree):
+    """Place a pytree of arrays on the default device (TPU when present)."""
+    dev = jax.devices()[0]
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache"):
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -17,10 +17,31 @@ from tpu_mslesseg.core import geometry
 
 
 def save_gray(path, array2d):
-    """Save a 2D uint8 array as a grayscale PNG."""
+    """Save a 2D uint8 array as a grayscale PNG (native encoder when the
+    hostio library is available, PIL otherwise)."""
+    from tpu_mslesseg.io import native
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(np.asarray(array2d, dtype=np.uint8), mode="L").save(path)
+    arr = np.asarray(array2d, dtype=np.uint8)
+    if native.write_gray_png(path, arr):
+        return
+    Image.fromarray(arr, mode="L").save(path)
+
+
+def save_gray_batch(paths, arrays):
+    """Write a batch of grayscale PNGs (OpenMP-parallel native writer with
+    serial PIL fallback). arrays: [N, H, W] uint8."""
+    from tpu_mslesseg.io import native
+
+    paths = [Path(p) for p in paths]
+    for p in paths:
+        p.parent.mkdir(parents=True, exist_ok=True)
+    arrays = np.asarray(arrays, dtype=np.uint8)
+    if native.write_gray_png_batch(paths, arrays):
+        return
+    for p, a in zip(paths, arrays):
+        Image.fromarray(a, mode="L").save(p)
 
 
 def load_gray(path) -> np.ndarray:

@@ -28,7 +28,16 @@ logger = get_logger(__file__)
 
 
 def guardar_cortes(paciente: Paciente, dirs: dict, num_cortes):
-    """Batched extraction of one patient's lesion slices + masks -> PNGs."""
+    """Batched extraction of one patient's lesion slices + masks -> PNGs.
+
+    Runs on the CPU backend (host prep; avoids throwaway TPU compiles)."""
+    from tpu_mslesseg.core.runtime import host_compute
+
+    with host_compute():
+        return _guardar_cortes(paciente, dirs, num_cortes)
+
+
+def _guardar_cortes(paciente: Paciente, dirs: dict, num_cortes):
     indices = paciente.indices_a_usar(num_cortes)
     if not indices:
         raise ValueError(
@@ -41,19 +50,20 @@ def guardar_cortes(paciente: Paciente, dirs: dict, num_cortes):
     for mod in paciente.modalidad:
         raw = paciente.cortes_imagen_batch(indices, mod)
         imgs = np.asarray(enhance.enhance_batch(raw, paciente.mejora))
-        for j, i in enumerate(indices):
-            png.save_slice_png(
-                dirs["images"] / f"{paciente.id}_{mod}_{i}.png", imgs[j]
-            )
-
-    for j, i in enumerate(indices):
-        mask_png = np.asarray(geometry.to_png_space(mask_batch[j]))
-        png.save_gray(
-            dirs["GT_masks"] / f"{paciente.id}_{i}.png",
-            (mask_png > 0).astype(np.uint8),
+        pngs = np.asarray(geometry.minmax_to_uint8(geometry.to_png_space_batch(imgs)))
+        png.save_gray_batch(
+            [dirs["images"] / f"{paciente.id}_{mod}_{i}.png" for i in indices], pngs
         )
+
+    mask_pngs = (
+        np.asarray(geometry.to_png_space_batch(np.asarray(mask_batch))) > 0
+    ).astype(np.uint8)
+    png.save_gray_batch(
+        [dirs["GT_masks"] / f"{paciente.id}_{i}.png" for i in indices], mask_pngs
+    )
+    for j, i in enumerate(indices):
         labels_mod.write_yolo_seg_label(
-            mask_png, dirs["labels"] / f"{paciente.id}_{i}.txt"
+            mask_pngs[j], dirs["labels"] / f"{paciente.id}_{i}.txt"
         )
     return indices
 

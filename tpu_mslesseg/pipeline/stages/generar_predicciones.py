@@ -89,10 +89,10 @@ def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
 
     dirs["pred_masks"].mkdir(parents=True, exist_ok=True)
     mod = paciente.modalidad_str
-    for j, i in enumerate(indices):
-        png.save_pred_png(
-            dirs["pred_masks"] / f"{paciente_id}_{mod}_{i}.png", masks[j]
-        )
+    png.save_gray_batch(
+        [dirs["pred_masks"] / f"{paciente_id}_{mod}_{i}.png" for i in indices],
+        (masks > 0).astype(np.uint8) * 255,
+    )
     return True
 
 

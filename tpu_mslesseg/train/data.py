@@ -102,6 +102,19 @@ def build_dataset(
     """Extract + enhance + resize every lesion slice of `patients` into one
     device-resident dataset (all modalities, labels shared per slice —
     the reference's per-modality label duplication, ``train.py:190-218``)."""
+    from tpu_mslesseg.core.runtime import host_compute, to_accelerator
+
+    with host_compute():
+        return _build_dataset_host(
+            patients, plano, modalidades, mejora, num_cortes, dataset_dir,
+            train_size, max_inst, to_accelerator,
+        )
+
+
+def _build_dataset_host(
+    patients, plano, modalidades, mejora, num_cortes, dataset_dir,
+    train_size, max_inst, to_accelerator,
+) -> SliceDataset:
     all_imgs, all_masks, meta = [], [], []
     for pid in patients:
         p = Paciente(
@@ -151,11 +164,19 @@ def build_dataset(
         boxes[i] = bx * r
         valid[i] = vl
 
+    arrays = to_accelerator(
+        {
+            "images": jnp.asarray(resized),
+            "instmaps": jnp.asarray(instmaps),
+            "boxes": jnp.asarray(boxes),
+            "valid": jnp.asarray(valid),
+        }
+    )
     return SliceDataset(
-        images=jnp.asarray(resized),
-        instmaps=jnp.asarray(instmaps),
-        boxes=jnp.asarray(boxes),
-        valid=jnp.asarray(valid),
+        images=arrays["images"],
+        instmaps=arrays["instmaps"],
+        boxes=arrays["boxes"],
+        valid=arrays["valid"],
         meta=meta,
         src_hw=(src_h, src_w),
         ratio=r,

@@ -85,15 +85,18 @@ def train_fold(
         key, k_epoch = jax.random.split(key)
         idx = tdata.epoch_indices(k_epoch, len(train_set), cfg.batch_size, use_mosaic)
 
-        sums, n = {}, 0
+        # async dispatch: metrics stay on device until the per-epoch fetch
+        step_metrics = []
         for s in range(idx.shape[0]):
             key, k_aug = jax.random.split(key)
             batch = augment.make_batch(k_aug, dd, idx[s], acfg)
             state, m = step_fn(state, batch)
-            n += 1
-            for k in ("box", "seg", "cls", "dfl"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
-        train_losses = {k: v / max(n, 1) for k, v in sums.items()}
+            step_metrics.append(m)
+        fetched = jax.device_get(step_metrics)
+        train_losses = {
+            k: float(np.mean([m[k] for m in fetched]))
+            for k in ("box", "seg", "cls", "dfl")
+        }
 
         if epoch % val_every == 0 or epoch == cfg.epochs:
             variables = {

@@ -52,7 +52,8 @@ def main():
     from tpu_mslesseg.preproc import enhance
 
     vol, gt = load_patient_volume()
-    model, cfg = create_model(nc=1, scale="n")
+    # bf16 activations: the parity target itself runs fp16 AMP inference
+    model, cfg = create_model(nc=1, scale="n", dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames="train")(
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), train=False
     )
@@ -82,15 +83,19 @@ def main():
         for plane in planes
     }
 
+    gt_dev = jnp.asarray(gt, jnp.float32)
+    slices_dev = {p: jnp.asarray(work[p][1]) for p in planes}
+
     def run_once():
+        # fully on-device: the only host transfer is the final 4 scalars
         vols = {}
         for plane in planes:
-            idx, slices, hw = work[plane]
-            imgs = enhance.enhance_batch(slices, "GC")
+            idx, _, hw = work[plane]
+            imgs = enhance.enhance_batch(slices_dev[plane], "GC")
             masks = predictors[plane](imgs)
             vols[plane] = reconstruct_volume(gt.shape, masks, plane, idx)
         cons = consensus_vote(vols["axial"], vols["coronal"], vols["sagital"], 2)
-        m = mx.compute_metrics(gt, np.asarray(cons))
+        m = mx.compute_metrics(gt_dev, cons)
         return m
 
     # warmup/compile

@@ -130,17 +130,23 @@ class SegMapAccumulator:
         ap_b = average_precision(scores, tpb, self.n_gt)
         ap_m = average_precision(scores, tpm, self.n_gt)
 
-        # P/R at IoU .5 over all predictions (score-thresholdless, like a
-        # single operating point at conf used for NMS)
-        def pr(tps):
-            tp = tps[:, 0].sum()
-            fp = (~tps[:, 0]).sum()
-            p = tp / max(tp + fp, 1e-9)
-            r = tp / max(self.n_gt, 1e-9)
-            return float(p), float(r)
+        # P/R at the max-F1 confidence threshold, IoU .5 (Ultralytics
+        # reports the PR-curve operating point that maximizes F1)
+        def pr_best_f1(tps):
+            if len(scores) == 0 or self.n_gt == 0:
+                return 0.0, 0.0
+            order = np.argsort(-scores)
+            t = tps[order, 0]
+            tp_cum = np.cumsum(t)
+            fp_cum = np.cumsum(~t)
+            prec = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+            rec = tp_cum / self.n_gt
+            f1 = 2 * prec * rec / np.maximum(prec + rec, 1e-9)
+            i = int(np.argmax(f1))
+            return float(prec[i]), float(rec[i])
 
-        pb, rb = pr(tpb)
-        pm, rm = pr(tpm)
+        pb, rb = pr_best_f1(tpb)
+        pm, rm = pr_best_f1(tpm)
         return {
             "map50_b": float(ap_b[0]),
             "map_b": float(ap_b.mean()),

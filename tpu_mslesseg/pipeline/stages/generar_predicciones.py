@@ -33,7 +33,14 @@ def cargar_predictor(config: ConfigPred, slice_hw) -> SlicePredictor:
     """Load best checkpoint for the fold and compile the fused predictor."""
     import os
 
-    model, _ = create_model(nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"))
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        os.environ.get("TPU_MSLESSEG_DTYPE", "bfloat16")
+    ]
+    model, _ = create_model(
+        nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"), dtype=dtype
+    )
     ckpt = checkpoint.load_checkpoint(config.model_path)
     variables = checkpoint.inference_variables(ckpt)
     imgsz = int(os.environ.get("TPU_MSLESSEG_IMGSZ", "640"))

@@ -35,40 +35,29 @@ class AugConfig(NamedTuple):
     mosaic: bool = True
 
 
-def _sample_bilinear(img, ys, xs, fill: float):
-    """img [H,W] sampled at grid ys/xs [h,w] with constant fill outside."""
-    H, W = img.shape
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
+def _interp_matrix(coords, size: int):
+    """1-D bilinear interpolation matrix W [S, size] with rows zeroed
+    outside the source range, plus the in-bounds mask [S].
 
-    def tap(yi, xi):
-        inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-        return jnp.where(inside, v, fill)
-
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
-    return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
-    )
+    The mosaic+affine map is axis-separable (scale/translate/flip only),
+    so 2-D resampling factorizes into ``Wy @ img @ Wx.T`` — MXU matmuls
+    instead of millions of pointwise gathers (which dominate TPU time)."""
+    c0 = jnp.floor(coords)
+    w1 = coords - c0
+    i0 = c0.astype(jnp.int32)
+    inb = (coords >= 0) & (coords <= size - 1)
+    oh0 = jax.nn.one_hot(jnp.clip(i0, 0, size - 1), size)
+    oh1 = jax.nn.one_hot(jnp.clip(i0 + 1, 0, size - 1), size)
+    W = oh0 * (1.0 - w1)[:, None] + oh1 * w1[:, None]
+    return W * inb[:, None], inb
 
 
-def _sample_nearest(img, ys, xs, fill):
-    H, W = img.shape
-    yi = jnp.round(ys).astype(jnp.int32)
-    xi = jnp.round(xs).astype(jnp.int32)
-    inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-    v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
-    return jnp.where(inside, v, fill)
+def _nearest_matrix(coords, size: int):
+    """1-D nearest-neighbor selection matrix (exact one-hot rows)."""
+    i = jnp.round(coords).astype(jnp.int32)
+    inb = (i >= 0) & (i < size)
+    W = jax.nn.one_hot(jnp.clip(i, 0, size - 1), size)
+    return W * inb[:, None], inb
 
 
 def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
@@ -105,23 +94,29 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
         k_ty, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
     ) * S
     # forward map: canvas point c -> s*(c - canvas/2) + (tx, ty)
-    # inverse: out pixel p -> (p - t)/s + canvas/2
-    ys_out = jnp.arange(S, dtype=jnp.float32)[:, None]
-    xs_out = jnp.arange(S, dtype=jnp.float32)[None, :]
+    # inverse: out pixel p -> (p - t)/s + canvas/2   (separable in y/x)
+    ys_out = jnp.arange(S, dtype=jnp.float32)
+    xs_out = jnp.arange(S, dtype=jnp.float32)
     cy = (ys_out - ty) / s + canvas / 2.0
     cx = (xs_out - tx) / s + canvas / 2.0
 
     img_out = jnp.full((S, S), 114.0)
     inst_out = jnp.zeros((S, S), jnp.int32)
     for k in range(4 if cfg.mosaic else 1):
-        ys_k = cy - offs_y[k]
-        xs_k = cx - offs_x[k]
-        v = _sample_bilinear(images[k], ys_k, xs_k, jnp.nan)
-        hit = ~jnp.isnan(v)
+        ys_k = cy - offs_y[k]  # [S]
+        xs_k = cx - offs_x[k]  # [S]
+        Wy, hy = _interp_matrix(ys_k, H)
+        Wx, hx = _interp_matrix(xs_k, W)
+        v = Wy @ images[k] @ Wx.T  # separable bilinear resample on the MXU
+        hit = hy[:, None] & hx[None, :]
         img_out = jnp.where(hit, v, img_out)
-        m = _sample_nearest(instmaps[k], ys_k, xs_k, 0).astype(jnp.int32)
+
+        Ny, ny = _nearest_matrix(ys_k, H)
+        Nx, nx = _nearest_matrix(xs_k, W)
+        m = (Ny @ instmaps[k].astype(jnp.float32) @ Nx.T).astype(jnp.int32)
+        nhit = ny[:, None] & nx[None, :]
         ids = jnp.where(m > 0, m + k * cfg.max_inst, 0)
-        inst_out = jnp.where(hit & (m > 0), ids, inst_out)
+        inst_out = jnp.where(nhit & (m > 0), ids, inst_out)
 
     # transform boxes: src -> canvas -> output
     n_tiles = 4 if cfg.mosaic else 1

@@ -1,0 +1,70 @@
+"""Fold-training engine on a tiny synthetic dataset (CPU): results.csv,
+checkpoints, resume, success criterion."""
+
+import csv
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu_mslesseg.io import nifti
+from tpu_mslesseg.model.yolo11 import create_model
+from tpu_mslesseg.train import engine
+from tpu_mslesseg.train.trainer import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_ds")
+    rng = np.random.default_rng(0)
+    shape = (24, 28, 24)
+    ds = root / "MSLesSeg-Dataset" / "train"
+    for pid in ("P1", "P2", "P30"):
+        vol = rng.normal(800, 150, shape).astype(np.float32)
+        mask = np.zeros(shape, np.float32)
+        mask[6:14, 8:18, 4:20] = 1
+        nifti.save(vol, np.eye(4), ds / pid / "T1" / f"{pid}_T1_FLAIR.nii.gz")
+        nifti.save(mask, np.eye(4), ds / pid / "T1" / f"{pid}_T1_MASK.nii.gz")
+    return ds
+
+
+def test_train_fold_end_to_end(synth_dataset, tmp_path):
+    out = tmp_path / "fold1"
+    cfg = TrainConfig(epochs=2, batch_size=4, imgsz=64, max_fg=8, close_mosaic=1)
+    model, _ = create_model(nc=1, scale="n")
+    # P1,P2 -> fold1 (test); P30 -> fold3 of 5... with k_folds=2: P1..P27
+    # fold1, P28..P53 fold2 => train=[P30], test=[P1,P2]
+    summary = engine.train_fold(
+        model=model, fold_test=1, patients=["P1", "P2", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=6,
+        dataset_dir=synth_dataset, output_dir=out, cfg=cfg, k_folds=2,
+    )
+    assert engine.entrenamiento_exitoso(out)
+    assert summary["train_slices"] > 0 and summary["val_slices"] > 0
+
+    with open(out / "results.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "epoch"
+    assert len(rows) == 3  # header + 2 epochs
+    assert all(len(r) == len(rows[0]) for r in rows[1:])
+    # losses are finite numbers
+    for r in rows[1:]:
+        for v in r[2:6]:
+            assert np.isfinite(float(v))
+
+
+def test_train_fold_resume(synth_dataset, tmp_path):
+    out = tmp_path / "foldr"
+    cfg = TrainConfig(epochs=10, batch_size=4, imgsz=64, max_fg=8, close_mosaic=1)
+    model, _ = create_model(nc=1, scale="n")
+    common = dict(
+        model=model, fold_test=1, patients=["P1", "P2", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=6,
+        dataset_dir=synth_dataset, output_dir=out, k_folds=2, val_every=10,
+    )
+    engine.train_fold(cfg=cfg, **common)
+    # resume run should start past epoch 10 and finish immediately
+    cfg2 = TrainConfig(epochs=10, batch_size=4, imgsz=64, max_fg=8, close_mosaic=1)
+    summary = engine.train_fold(cfg=cfg2, **common)
+    assert engine.entrenamiento_exitoso(out)

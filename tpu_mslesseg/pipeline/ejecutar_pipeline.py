@@ -71,13 +71,17 @@ def ejecutar_pipeline(
     train_cfg=None,
 ):
     """Full pipeline for one experiment config (or one patient)."""
+    from tpu_mslesseg.core.profiling import stage_timer
+
     # Stage 0: dataset setup
-    setup_stage.ejecutar_setup_pipeline()
+    with stage_timer("setup"):
+        setup_stage.ejecutar_setup_pipeline()
 
     # Stage 1: slice extraction
-    extraer_dataset.ejecutar_dataset_pipeline(
-        modelo, paciente=paciente, k_folds=modelo.k_folds, limpiar=limpiar
-    )
+    with stage_timer("extraer_dataset"):
+        extraer_dataset.ejecutar_dataset_pipeline(
+            modelo, paciente=paciente, k_folds=modelo.k_folds, limpiar=limpiar
+        )
 
     folds = (
         [calcular_fold(paciente.id, modelo.k_folds)]
@@ -95,25 +99,29 @@ def ejecutar_pipeline(
                 f"⚠️ Fold {k} sin modelo entrenado y --entrenar no indicado."
             )
             continue
-        train_stage.ejecutar_train_pipeline(
-            modelo, epochs=epochs, fold_test=k, limpiar=limpiar, train_cfg=train_cfg
-        )
+        with stage_timer(f"train_fold{k}"):
+            train_stage.ejecutar_train_pipeline(
+                modelo, epochs=epochs, fold_test=k, limpiar=limpiar,
+                train_cfg=train_cfg,
+            )
 
     # Stages 3-4: prediction + reconstruction
     for k in folds:
         if not existe_modelo_entrenado(modelo, epochs, k):
             logger.warning(f"⚠️ Sin modelo para el fold {k}; se omiten predicciones.")
             continue
-        generar_predicciones.ejecutar_predicciones_pipeline(
-            modelo, epochs=epochs, k_folds=modelo.k_folds,
-            fold_test=None if paciente is not None else k,
-            paciente=paciente, limpiar=limpiar,
-        )
-        reconstruir_volumen.ejecutar_reconstrucciones_pipeline(
-            modelo, epochs=epochs, k_folds=modelo.k_folds,
-            fold_test=None if paciente is not None else k,
-            paciente=paciente, limpiar=limpiar,
-        )
+        with stage_timer(f"predicciones_fold{k}"):
+            generar_predicciones.ejecutar_predicciones_pipeline(
+                modelo, epochs=epochs, k_folds=modelo.k_folds,
+                fold_test=None if paciente is not None else k,
+                paciente=paciente, limpiar=limpiar,
+            )
+        with stage_timer(f"reconstrucciones_fold{k}"):
+            reconstruir_volumen.ejecutar_reconstrucciones_pipeline(
+                modelo, epochs=epochs, k_folds=modelo.k_folds,
+                fold_test=None if paciente is not None else k,
+                paciente=paciente, limpiar=limpiar,
+            )
 
     # Stage 6: per-plane evaluation
     for k in folds:

@@ -197,9 +197,14 @@ def fold_patient_split(all_patients: list, fold_test: int, k_folds: int):
 
 def epoch_indices(key, n_slices: int, batch_size: int, mosaic: bool):
     """[steps, B, 4] random source indices for one epoch (4 per mosaic;
-    col 0 is the primary slice when mosaic is off)."""
+    col 0 is the primary slice when mosaic is off). Datasets smaller than
+    one batch wrap around."""
     steps = max(n_slices // batch_size, 1)
-    perm = jax.random.permutation(key, n_slices)[: steps * batch_size]
+    need = steps * batch_size
+    perm = jax.random.permutation(key, n_slices)
+    if need > n_slices:
+        perm = jnp.tile(perm, -(-need // n_slices))
+    perm = perm[:need]
     primary = perm.reshape(steps, batch_size, 1)
     extra = jax.random.randint(
         jax.random.fold_in(key, 1), (steps, batch_size, 3), 0, n_slices

@@ -39,6 +39,7 @@ def train_fold(
     k_folds: int = 5,
     mesh=None,
     val_every: int = 1,
+    resume: bool = True,
 ) -> dict:
     """Train one cross-validation fold. Returns summary dict."""
     out = Path(output_dir)
@@ -52,19 +53,56 @@ def train_fold(
         train_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
         train_size=cfg.imgsz,
     )
-    val_set = tdata.build_dataset(
-        test_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
-        train_size=cfg.imgsz, max_inst=train_set.max_inst,
-    )
+    try:
+        val_set = tdata.build_dataset(
+            test_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
+            train_size=cfg.imgsz, max_inst=train_set.max_inst,
+        )
+    except (ValueError, FileNotFoundError) as e:
+        logger.warning(f"⚠️ Fold {fold_test} sin cortes de validación: {e}")
+        val_set = None
     logger.info(
         f"📦 Dataset en dispositivo: {len(train_set)} cortes train, "
-        f"{len(val_set)} val, max_inst={train_set.max_inst}"
+        f"{len(val_set) if val_set else 0} val, max_inst={train_set.max_inst}"
     )
+
+    # auto-batch: never larger than the dataset (reference batch=-1 spirit)
+    if cfg.batch_size > len(train_set):
+        from dataclasses import replace
+
+        # pow2 around n/2 so tiny datasets still get several steps/epoch
+        eff = max(1 << max((len(train_set) // 2).bit_length() - 1, 2), 4)
+        logger.info(f"📉 Batch ajustado a {eff} (dataset de {len(train_set)} cortes).")
+        cfg = replace(cfg, batch_size=eff)
 
     steps_per_epoch = max(len(train_set) // cfg.batch_size, 1)
     state = trainer.init_train_state(model, cfg, steps_per_epoch)
+    start_epoch = 1
+    last_ckpt = weights / "last.ckpt"
+    if resume and checkpoint.checkpoint_exists(last_ckpt):
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        try:
+            restored = checkpoint.load_checkpoint(last_ckpt, template)
+            state = trainer.TrainState(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                ema_params=restored["ema_params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]),
+            )
+            start_epoch = int(restored["step"]) // steps_per_epoch + 1
+            logger.info(f"🔁 Reanudando desde la época {start_epoch} (last.ckpt).")
+        except Exception as e:
+            logger.warning(f"⚠️ No se pudo reanudar desde last.ckpt: {e}")
     step_fn = trainer.make_train_step(model, cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
+    val_step = validate.make_val_step(model, loss_cfg) if val_set is not None else None
     results = trainer.ResultsWriter(out / "results.csv")
 
     acfg_mosaic = augment.AugConfig(
@@ -79,7 +117,7 @@ def train_fold(
     key = jax.random.PRNGKey(cfg.seed)
     best_fit = -1.0
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic
         acfg = acfg_mosaic if use_mosaic else acfg_plain
         key, k_epoch = jax.random.split(key)
@@ -98,7 +136,7 @@ def train_fold(
             for k in ("box", "seg", "cls", "dfl")
         }
 
-        if epoch % val_every == 0 or epoch == cfg.epochs:
+        if val_set is not None and (epoch % val_every == 0 or epoch == cfg.epochs):
             variables = {
                 "params": state.ema_params,
                 "batch_stats": state.batch_stats,
@@ -106,6 +144,7 @@ def train_fold(
             val_metrics, val_losses = validate.run_validation(
                 model, variables, val_set, loss_cfg,
                 batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
+                step=val_step,
             )
         else:
             val_metrics, val_losses = {}, {}
@@ -121,16 +160,22 @@ def train_fold(
             f"mAP50(M)={val_metrics.get('map50_m', 0):.3f} fitness={fit:.3f}"
         )
 
-        checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=False)
-        if fit >= best_fit:
+        # checkpoint IO (~1s) would dominate sub-second epochs: last every
+        # 10 epochs + final; best only on fitness improvement
+        if epoch % 10 == 0 or epoch == cfg.epochs:
+            checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
+        if val_metrics and fit >= best_fit:
             best_fit = fit
             checkpoint.save_checkpoint(weights / "best.ckpt", state)
+
+    if best_fit < 0:  # no validation ran: final weights are "best"
+        checkpoint.save_checkpoint(weights / "best.ckpt", state)
 
     return {
         "best_fitness": best_fit,
         "epochs": cfg.epochs,
         "train_slices": len(train_set),
-        "val_slices": len(val_set),
+        "val_slices": len(val_set) if val_set else 0,
         "weights_dir": str(weights),
     }
 

@@ -1,0 +1,110 @@
+"""Fold-parallel training: all k cross-validation folds as one SPMD program.
+
+The reference trains its k folds strictly sequentially
+(``ejecutar_pipeline.py:174-184``). The folds are embarrassingly parallel,
+so on a multi-chip mesh we map them onto the ``fold`` axis: parameters and
+optimizer state gain a leading fold dimension, every fold draws batches
+from its own patient subset of a shared device-resident slice pool, and
+one jit-compiled vmapped train step advances all folds at once. With a
+(fold, data) mesh the per-fold batch further shards over ``data``.
+
+Single-chip this still works (the fold dimension is just vectorized), and
+`__graft_entry__.dryrun_multichip` exercises the sharded path on a virtual
+mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_mslesseg.core import mesh as meshlib
+from tpu_mslesseg.train import augment, trainer
+from tpu_mslesseg.train.losses import LossConfig, segmentation_loss
+from tpu_mslesseg.train.trainer import TrainConfig, TrainState
+
+
+def build_fold_index_pools(meta, k_folds: int, calcular_fold_fn):
+    """Per-fold pools of slice indices into the shared dataset.
+
+    meta: list of (patient_id, modality, slice_idx) per dataset row.
+    Returns (pools [F, M] int32 padded by repetition, counts [F])."""
+    per_fold = [[] for _ in range(k_folds)]
+    for i, (pid, _, _) in enumerate(meta):
+        f = calcular_fold_fn(pid, k_folds) - 1
+        for g in range(k_folds):
+            if g != f:  # fold g trains on patients NOT in fold g
+                per_fold[g].append(i)
+    m = max(len(p) for p in per_fold)
+    pools = np.zeros((k_folds, m), np.int32)
+    counts = np.zeros((k_folds,), np.int32)
+    for f, p in enumerate(per_fold):
+        if not p:
+            raise ValueError(f"Fold {f + 1} sin cortes de entrenamiento.")
+        reps = -(-m // len(p))
+        pools[f] = np.tile(np.asarray(p, np.int32), reps)[:m]
+        counts[f] = len(p)
+    return jnp.asarray(pools), jnp.asarray(counts)
+
+
+def init_multi_fold_state(model, cfg: TrainConfig, steps_per_epoch: int,
+                          k_folds: int) -> TrainState:
+    """Stacked TrainState with a leading fold axis (independent inits)."""
+    states = [
+        trainer.init_train_state(
+            model, cfg, steps_per_epoch, rng=jax.random.PRNGKey(cfg.seed + f)
+        )
+        for f in range(k_folds)
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
+                         acfg: augment.AugConfig, mesh=None):
+    """Returns jitted fn(state_F, keys [F], pools, counts, dataset) ->
+    (state_F, metrics_F). Each fold samples its own mosaic batch and takes
+    one optimizer step.
+
+    Folds are mapped with `shard_map` over the mesh 'fold' axis: folds
+    co-located on a device run sequentially (`lax.map`), folds on
+    different devices run concurrently. (A plain vmap over parameters
+    can't batch grouped-conv kernels, so SPMD-over-folds is also the only
+    XLA-clean formulation.)"""
+    single_step = trainer.make_train_step(model, cfg, steps_per_epoch)
+
+    def one_fold(state, key, pool, count, dataset):
+        k_idx, k_aug = jax.random.split(key)
+        # sample batch_size mosaics x 4 sources from this fold's pool
+        draws = jax.random.randint(k_idx, (cfg.batch_size, 4), 0, count)
+        idx = pool[draws]
+        batch = augment.make_batch(k_aug, dataset, idx, acfg)
+        return single_step(state, batch)
+
+    def local_folds(state_F, keys_F, pools_F, counts_F, dataset):
+        # leading axis = folds local to this shard; run them sequentially
+        return jax.lax.map(
+            lambda args: one_fold(*args, dataset),
+            (state_F, keys_F, pools_F, counts_F),
+        )
+
+    if mesh is None:
+        return jax.jit(local_folds)
+
+    from jax.experimental.shard_map import shard_map
+
+    fold = P(meshlib.FOLD_AXIS)
+    mapped = shard_map(
+        local_folds,
+        mesh=mesh,
+        in_specs=(fold, fold, fold, fold, P()),
+        out_specs=(fold, fold),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def extract_fold_state(state_F: TrainState, fold: int) -> TrainState:
+    """Slice one fold's TrainState out of the stacked state."""
+    return jax.tree_util.tree_map(lambda x: x[fold], state_F)

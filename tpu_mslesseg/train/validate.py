@@ -97,10 +97,14 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
 
 
 def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
-                   batch_size: int = 16, imgsz: int = 640):
-    """Full val pass -> (val_metrics dict for results.csv, val_losses dict)."""
+                   batch_size: int = 16, imgsz: int = 640, step=None):
+    """Full val pass -> (val_metrics dict for results.csv, val_losses dict).
+
+    Pass a cached `step` from `make_val_step` when validating repeatedly —
+    rebuilding it per call recompiles the whole val program."""
     acfg = val_aug_config(val_dset.max_inst, imgsz)
-    step = make_val_step(model, loss_cfg)
+    if step is None:
+        step = make_val_step(model, loss_cfg)
     acc = seg_map.SegMapAccumulator()
     n = len(val_dset)
     dd = val_dset.as_dict()

@@ -25,6 +25,21 @@ from tpu_mslesseg.train.trainer import TrainConfig, fitness
 logger = get_logger(__file__)
 
 
+def _write_args_yaml(path, cfg: TrainConfig, **extra):
+    import dataclasses
+
+    import yaml
+
+    payload = {**dataclasses.asdict(cfg), **extra}
+    payload = {
+        k: (list(v) if isinstance(v, (tuple, set)) else v)
+        for k, v in payload.items()
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(payload, f, sort_keys=True)
+
+
 def train_fold(
     model,
     fold_test: int,
@@ -48,6 +63,14 @@ def train_fold(
 
     train_ids, test_ids = tdata.fold_patient_split(patients, fold_test, k_folds)
     logger.info(f"🧠 Fold {fold_test}: train={len(train_ids)} test={len(test_ids)} pacientes")
+
+    # args.yaml snapshot (reference training runs freeze hyperparameters
+    # in the fold dir; same artifact, our schema)
+    _write_args_yaml(
+        out / "args.yaml", cfg, plano=plano, modalidades=modalidades,
+        mejora=mejora, num_cortes=num_cortes, fold_test=fold_test,
+        k_folds=k_folds,
+    )
 
     train_set = tdata.build_dataset(
         train_ids, plano, modalidades, mejora, num_cortes, dataset_dir,

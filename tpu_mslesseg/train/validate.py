@@ -122,13 +122,17 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
         batch = augment.make_batch(key, dd, idx, acfg)
         losses, match = step(variables, batch)
         n_batches += 1
-        for k, v in losses.items():
-            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        # one host fetch per batch (per-image fetches would sync 64x/epoch)
+        fetched = jax.device_get(
+            {**losses, **match, "valid": batch["valid"]}
+        )
+        for k in losses:
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(fetched[k])
         for b in range(real):
-            n_gt = int(np.asarray(batch["valid"][b]).sum())
             acc.add_image(
-                match["scores"][b], match["keep"][b],
-                match["tp_b"][b], match["tp_m"][b], n_gt,
+                fetched["scores"][b], fetched["keep"][b],
+                fetched["tp_b"][b], fetched["tp_m"][b],
+                int(fetched["valid"][b].sum()),
             )
 
     metrics = acc.compute()

@@ -1,0 +1,103 @@
+"""Modo capacidad: entrena sobre TODOS los pacientes de la demo y evalúa
+sobre la distribución de entrenamiento (no es validación cruzada).
+
+Existe porque la demo solo trae 2 pacientes: la validación cruzada real
+con n=1 por fold no puede generalizar, mientras que este modo demuestra el
+stack completo (entrenamiento → predicción fusionada → reconstrucción →
+métricas) alcanzando DSC del orden del ancla de la referencia.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Demo modo capacidad.")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--paciente_eval", default="P39")
+    parser.add_argument("--mejora", default="GC")
+    parser.add_argument("--dataset", default="MSLesSeg-Dataset/train")
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mslesseg.core.runtime import enable_compilation_cache
+    from tpu_mslesseg.evalx import metrics as mx
+    from tpu_mslesseg.infer.predictor import SlicePredictor
+    from tpu_mslesseg.infer.reconstruct import reconstruct_volume
+    from tpu_mslesseg.model.yolo11 import create_model
+    from tpu_mslesseg.pipeline.logging_setup import get_logger
+    from tpu_mslesseg.pipeline.paciente import Paciente, listar_pacientes
+    from tpu_mslesseg.preproc import enhance
+    from tpu_mslesseg.train import augment, checkpoint, data as tdata, trainer
+
+    enable_compilation_cache()
+    logger = get_logger(__file__)
+
+    pacientes = listar_pacientes(args.dataset)
+    logger.header(f"\n💪 Modo capacidad: entrenando con {pacientes}.")
+
+    train_set = tdata.build_dataset(
+        pacientes, "axial", ["FLAIR"], args.mejora, 50, args.dataset
+    )
+    cfg = trainer.TrainConfig(
+        epochs=args.epochs, batch_size=args.batch, close_mosaic=10, max_fg=48
+    )
+    model, _ = create_model(nc=1, scale="n")
+    steps = max(len(train_set) // cfg.batch_size, 1)
+    state = trainer.init_train_state(model, cfg, steps)
+    step_fn = trainer.make_train_step(model, cfg, steps)
+    acfg_m = augment.AugConfig(max_inst=train_set.max_inst, mosaic=True)
+    acfg_p = augment.AugConfig(max_inst=train_set.max_inst, mosaic=False)
+    dd = train_set.as_dict()
+    key = jax.random.PRNGKey(cfg.seed)
+
+    for epoch in range(1, cfg.epochs + 1):
+        mosaic = epoch <= cfg.epochs - cfg.close_mosaic
+        key, ke = jax.random.split(key)
+        idx = tdata.epoch_indices(ke, len(train_set), cfg.batch_size, mosaic)
+        ms = []
+        for s in range(idx.shape[0]):
+            key, ka = jax.random.split(key)
+            batch = augment.make_batch(ka, dd, idx[s], acfg_m if mosaic else acfg_p)
+            state, m = step_fn(state, batch)
+            ms.append(m)
+        if epoch % 20 == 0 or epoch == cfg.epochs:
+            fetched = jax.device_get(ms)
+            line = {k: float(np.mean([mm[k] for mm in fetched]))
+                    for k in ("box", "seg", "cls", "dfl")}
+            logger.info(f"🏋️ Epoch {epoch}/{cfg.epochs}: {line}")
+
+    out = Path("trains_capacidad") / args.mejora / "weights"
+    checkpoint.save_checkpoint(out / "best.ckpt", state)
+    logger.info(f"💾 Pesos guardados en {out}.")
+
+    p = Paciente(
+        id=args.paciente_eval, plano="axial", modalidad=["FLAIR"],
+        dataset_dir=args.dataset,
+    )
+    idx = p.indices_a_usar(50)
+    imgs = np.asarray(
+        enhance.enhance_batch(p.cortes_imagen_batch(idx, "FLAIR"), args.mejora)
+    )
+    pred = SlicePredictor(
+        model,
+        {"params": state.ema_params, "batch_stats": state.batch_stats},
+        slice_hw=imgs.shape[1:],
+    )
+    masks = np.asarray(pred(imgs))
+    vol = np.asarray(reconstruct_volume(p.gt_mask.shape, masks, "axial", idx))
+    met = mx.compute_metrics(p.gt_mask, vol)
+    logger.info(f"📏 {args.paciente_eval} (distribución de entrenamiento): {met}")
+    return met
+
+
+if __name__ == "__main__":
+    main()

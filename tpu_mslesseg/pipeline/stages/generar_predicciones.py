@@ -82,17 +82,21 @@ def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
         id=paciente_id, plano=config.modelo.plano, modalidad=config.modelo.modalidad,
         mejora=config.modelo.mejora, dataset_dir=config.dataset_entrada,
     )
-    # enhanced slices straight from the volume (bit-equivalent to reading
-    # back the stage-1 PNGs, which round-trip losslessly)
+    # enhanced slices straight from the volume (equivalent to reading back
+    # the stage-1 PNGs); multimodal experiments predict every modality and
+    # union the masks (the reference's reconstruction likewise folds every
+    # modality's prediction PNG into the same volume)
     from tpu_mslesseg.preproc import enhance
 
-    raw = paciente.cortes_imagen_batch(indices, config.modelo.modalidad[0])
-    imgs = np.asarray(enhance.enhance_batch(raw, config.modelo.mejora))
-
-    hw = imgs.shape[1:]
-    if hw not in predictor_cache:
-        predictor_cache[hw] = cargar_predictor(config, hw)
-    masks = np.asarray(predictor_cache[hw](imgs))
+    masks = None
+    for mod in config.modelo.modalidad:
+        raw = paciente.cortes_imagen_batch(indices, mod)
+        imgs = enhance.enhance_batch(raw, config.modelo.mejora)
+        hw = tuple(imgs.shape[1:])
+        if hw not in predictor_cache:
+            predictor_cache[hw] = cargar_predictor(config, hw)
+        m = np.asarray(predictor_cache[hw](imgs))
+        masks = m if masks is None else (masks | m)
 
     dirs["pred_masks"].mkdir(parents=True, exist_ok=True)
     mod = paciente.modalidad_str

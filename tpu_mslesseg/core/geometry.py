@@ -102,17 +102,8 @@ def from_png_space_batch(pngs):
 
 def minmax_to_uint8(x):
     """Min-max normalize to [0, 255] uint8 (reference `normalizar_a_uint8`,
-    ``utils/utils.py:396-406``). Works on numpy or jax arrays; 2D or batched
-    (normalization is per-array for 2D, per-slice for [N,H,W])."""
-    xp = jnp if isinstance(x, jnp.ndarray) else np
-    x = x.astype(xp.float32)
-    if x.ndim == 3:
-        lo = x.min(axis=(1, 2), keepdims=True)
-        hi = x.max(axis=(1, 2), keepdims=True)
-    else:
-        lo = x.min()
-        hi = x.max()
-    rng = hi - lo
-    safe = xp.where(rng > 0, rng, 1.0)
-    y = (x - lo) / safe * 255.0
-    return y.astype(xp.uint8)
+    ``utils/utils.py:396-406``): per-array for 2D, per-slice for [N,H,W].
+    Single implementation lives in preproc.enhance.normalize_to_uint8."""
+    from tpu_mslesseg.preproc.enhance import normalize_to_uint8
+
+    return normalize_to_uint8(x)

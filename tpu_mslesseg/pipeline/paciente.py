@@ -189,16 +189,20 @@ def calcular_fold(paciente_id: str, k_folds: int = 5) -> int:
 
 
 def listar_pacientes(input_dir):
-    """Sorted patient IDs in a directory (numeric order)."""
+    """Sorted patient IDs in a directory (numeric order). Only directories
+    matching ``P<n>`` count — stray files (caches, readmes) are ignored."""
     input_path = Path(input_dir)
     pacientes = [
         d.name
         for d in input_path.iterdir()
-        if not _ignorable(d.name)
+        if d.is_dir()
+        and d.name.startswith("P")
+        and d.name[1:].isdigit()
+        and not _ignorable(d.name)
     ]
     if not pacientes:
         raise FileNotFoundError(f"No se encontraron pacientes en {input_dir}.")
-    return sorted(pacientes, key=lambda p: int(p[1:]) if p[1:].isdigit() else 1_000_000)
+    return sorted(pacientes, key=lambda p: int(p[1:]))
 
 
 def _ignorable(name: str) -> bool:

@@ -62,7 +62,8 @@ def procesar_paciente_eval(config: ConfigEval, paths_dir=None, modo_fold=False):
         logger.warning(f"⚠️ Sin volumen predicho: {paths_dir['pred_vol']}.")
         return {}
     met = calcular_metricas(paths_dir["gt_vol"], paths_dir["pred_vol"])
-    escribir_json(met, rj)
+    if met:  # never memoize a failed computation: fixing the volume must
+        escribir_json(met, rj)  # allow re-evaluation without --limpiar
     return met
 
 
@@ -83,11 +84,14 @@ def calcular_metricas_fold(config: ConfigEval):
     if out_path.exists():
         return None  # skip
 
-    pacientes = (
-        listar_pacientes(config.pred_vols_fold_dir)
-        if config.pred_vols_fold_dir.is_dir()
-        else []
-    )
+    try:
+        pacientes = (
+            listar_pacientes(config.pred_vols_fold_dir)
+            if config.pred_vols_fold_dir.is_dir()
+            else []
+        )
+    except FileNotFoundError:
+        pacientes = []
     acumulado = {}
     for pid in pacientes:
         paths = config.paths_paciente(pid)
@@ -101,6 +105,13 @@ def calcular_metricas_fold(config: ConfigEval):
         for k, v in met.items():
             acumulado.setdefault(k, []).append(v)
 
+    if not acumulado:
+        # a fold without predictions must warn and continue, not abort the
+        # experiment (the reference's warn-and-skip contract)
+        logger.warning(
+            f"⚠️ Fold {config.fold_test} sin volúmenes evaluables; se omite."
+        )
+        return False
     stats = calcular_promedio(acumulado)
     escribir_json(stats, out_path)
     return stats
@@ -133,7 +144,7 @@ def ejecutar_flujo_eval(config: ConfigEval, limpiar=False, verbose=False):
     res = calcular_metricas_fold(config)
     if res is None:
         logger.skip(f"⏩ Fold {config.fold_test} ya evaluado.")
-    else:
+    elif res:
         logger.info(f"🆗 Fold {config.fold_test} evaluado.")
     return res
 

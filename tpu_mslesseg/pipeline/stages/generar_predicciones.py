@@ -91,7 +91,7 @@ def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
     masks = None
     for mod in config.modelo.modalidad:
         raw = paciente.cortes_imagen_batch(indices, mod)
-        imgs = enhance.enhance_batch(raw, config.modelo.mejora)
+        imgs = enhance.enhance_for_model(raw, config.modelo.mejora)
         hw = tuple(imgs.shape[1:])
         if hw not in predictor_cache:
             predictor_cache[hw] = cargar_predictor(config, hw)

@@ -61,7 +61,12 @@ def procesar_resultados(config: ConfigEval):
 def ejecutar_flujo_promediar(config: ConfigEval, verbose=False):
     if verbose:
         logger.header(f"\n🧮 Promediando folds ({config.plano}).")
-    res = procesar_resultados(config)
+    try:
+        res = procesar_resultados(config)
+    except FileNotFoundError as e:
+        # incomplete experiment: aggregate later, don't abort the pipeline
+        logger.warning(f"⚠️ Promediado omitido: {e}")
+        return False
     if res is None:
         logger.skip("⏩ Resumen global ya existente.")
     else:

@@ -172,6 +172,9 @@ def make_batch(key, dataset, idx, cfg: AugConfig = AugConfig()):
     """
     B = idx.shape[0]
     keys = jax.random.split(key, B)
+    if not cfg.mosaic:
+        idx = idx[:, :1]  # only the primary slice is consumed: skip 3/4
+        # of the gather traffic in val batches / close-mosaic epochs
 
     def one(k, ids):
         imgs = dataset["images"][ids].astype(jnp.float32)

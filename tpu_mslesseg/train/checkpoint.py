@@ -16,6 +16,11 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path, state, include_opt: bool = False):
+    """Crash-safe save: write to a sibling tmp dir, then swap — a kill
+    mid-save must not destroy the previous checkpoint or leave a partial
+    directory that `checkpoint_exists` accepts."""
+    import shutil
+
     path = Path(path).absolute()
     payload = {
         "params": state.params,
@@ -25,13 +30,15 @@ def save_checkpoint(path, state, include_opt: bool = False):
     }
     if include_opt:
         payload["opt_state"] = state.opt_state
+    tmp = path.with_name(path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    if path.exists():
-        import shutil
-
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+    ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
 
 
 def load_checkpoint(path, template=None):

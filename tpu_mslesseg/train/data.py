@@ -127,7 +127,7 @@ def _build_dataset_host(
         mask_png = np.asarray(geometry.to_png_space_batch(jnp.asarray(mask_b)))
         for mod in modalidades:
             img_b = p.cortes_imagen_batch(idx, mod)
-            img_u8 = np.asarray(enhance.enhance_batch(img_b, mejora))
+            img_u8 = np.asarray(enhance.enhance_for_model(img_b, mejora))
             img_png = np.asarray(geometry.to_png_space_batch(jnp.asarray(img_u8)))
             all_imgs.append(img_png)
             all_masks.append(mask_png)

@@ -126,7 +126,7 @@ def train_fold(
     step_fn = trainer.make_train_step(model, cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
     val_step = validate.make_val_step(model, loss_cfg) if val_set is not None else None
-    results = trainer.ResultsWriter(out / "results.csv")
+    results = trainer.ResultsWriter(out / "results.csv", append=start_epoch > 1)
 
     acfg_mosaic = augment.AugConfig(
         imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=True
@@ -138,7 +138,18 @@ def train_fold(
 
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
+
+    # best fitness persists next to the weights so a resumed run never
+    # demotes an earlier, better best.ckpt
+    import json
+
+    fitness_file = weights / "fitness.json"
     best_fit = -1.0
+    if start_epoch > 1 and fitness_file.exists():
+        try:
+            best_fit = float(json.loads(fitness_file.read_text())["best_fitness"])
+        except (ValueError, KeyError):
+            pass
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic
@@ -190,8 +201,12 @@ def train_fold(
         if val_metrics and fit >= best_fit:
             best_fit = fit
             checkpoint.save_checkpoint(weights / "best.ckpt", state)
+            fitness_file.write_text(json.dumps({"best_fitness": best_fit}))
 
-    if best_fit < 0:  # no validation ran: final weights are "best"
+    if best_fit < 0 and not checkpoint.checkpoint_exists(weights / "best.ckpt"):
+        # no validation ever ran AND no previous best exists: final
+        # weights are "best" (a completed-run resume must not demote the
+        # real best checkpoint)
         checkpoint.save_checkpoint(weights / "best.ckpt", state)
 
     return {

@@ -174,10 +174,19 @@ class ResultsWriter:
     """Per-epoch results.csv in the reference schema (``results.csv`` header
     of the shipped training runs)."""
 
-    def __init__(self, path):
+    def __init__(self, path, append: bool = False):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.t0 = time.time()
+        if append and self.path.exists():
+            # resume: keep prior epochs, continue the wall-clock column
+            try:
+                with open(self.path) as f:
+                    last = list(csv.reader(f))[-1]
+                self.t0 = time.time() - float(last[1])
+            except (IndexError, ValueError):
+                pass
+            return
         with open(self.path, "w", newline="") as f:
             csv.writer(f).writerow(RESULTS_HEADER)
 

@@ -24,7 +24,11 @@ logger = get_logger(__file__)
 
 
 def collect_slices(base_dir: Path, paciente_id: str, modalidad_str: str):
-    """(index, img_path, pred_path, gt_path) for every predicted slice."""
+    """(index, img_path, pred_path, gt_path) for every predicted slice.
+
+    Stage 1 writes images per single modality
+    (``P1_FLAIR_23.png``), while predictions carry the joined modality
+    string; fall back to any modality's image for the slice."""
     images = base_dir / "images"
     preds = base_dir / "pred_masks"
     gts = base_dir / "GT_masks"
@@ -35,6 +39,9 @@ def collect_slices(base_dir: Path, paciente_id: str, modalidad_str: str):
         except ValueError:
             continue
         img = images / f"{paciente_id}_{modalidad_str}_{idx}.png"
+        if not img.exists():
+            candidates = sorted(images.glob(f"{paciente_id}_*_{idx}.png"))
+            img = candidates[0] if candidates else img
         gt = gts / f"{paciente_id}_{idx}.png"
         if img.exists() and gt.exists():
             out.append((idx, img, f, gt))

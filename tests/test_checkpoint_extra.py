@@ -1,0 +1,74 @@
+"""Checkpoint atomicity + ResultsWriter resume semantics."""
+
+import csv
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mslesseg.train import checkpoint
+from tpu_mslesseg.train.trainer import ResultsWriter
+
+
+class _State:
+    params = {"w": np.ones((4, 4), np.float32)}
+    batch_stats = {"m": np.zeros((4,), np.float32)}
+    ema_params = {"w": np.full((4, 4), 2.0, np.float32)}
+    step = np.int32(7)
+    opt_state = ()
+
+
+def test_checkpoint_roundtrip_and_no_tmp_left(tmp_path):
+    path = tmp_path / "best.ckpt"
+    checkpoint.save_checkpoint(path, _State)
+    assert checkpoint.checkpoint_exists(path)
+    assert not (tmp_path / "best.ckpt.tmp").exists()
+    ck = checkpoint.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(ck["params"]["w"]), _State.params["w"])
+    np.testing.assert_array_equal(
+        np.asarray(ck["ema_params"]["w"]), _State.ema_params["w"]
+    )
+    assert int(ck["step"]) == 7
+
+    # overwrite keeps working (old dir swapped out)
+    class S2(_State):
+        step = np.int32(9)
+
+    checkpoint.save_checkpoint(path, S2)
+    assert int(checkpoint.load_checkpoint(path)["step"]) == 9
+
+
+def test_inference_variables_prefers_ema():
+    ck = {
+        "params": {"w": 1},
+        "ema_params": {"w": 2},
+        "batch_stats": {"m": 3},
+    }
+    v = checkpoint.inference_variables(ck)
+    assert v["params"]["w"] == 2
+    v = checkpoint.inference_variables(ck, use_ema=False)
+    assert v["params"]["w"] == 1
+
+
+def test_results_writer_append(tmp_path):
+    path = tmp_path / "results.csv"
+    w = ResultsWriter(path)
+    w.write_epoch(1, {"box": 1.0}, {}, {}, 0.01)
+    w.write_epoch(2, {"box": 0.9}, {}, {}, 0.01)
+
+    # fresh writer without append truncates
+    w2 = ResultsWriter(path)
+    with open(path) as f:
+        assert len(list(csv.reader(f))) == 1  # header only
+
+    w2.write_epoch(1, {"box": 1.0}, {}, {}, 0.01)
+    # resume-style writer keeps rows and continues the clock
+    w3 = ResultsWriter(path, append=True)
+    w3.write_epoch(2, {"box": 0.8}, {}, {}, 0.005)
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    assert [r[0] for r in rows] == ["epoch", "1", "2"]
+    assert float(rows[2][1]) >= float(rows[1][1])  # time monotonic

@@ -84,11 +84,43 @@ def parsear_args(argv=None):
     parser.add_argument("--mejora", default=None, choices=["HE", "CLAHE", "GC", "LT"])
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--k_folds", type=int, default=5)
-    parser.add_argument("--fold_test", type=int, required=True)
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--fold_test", type=int)
+    group.add_argument(
+        "--paralelo", action="store_true",
+        help="Entrenar TODOS los folds en un solo programa SPMD "
+             "(eje 'fold' del mesh).",
+    )
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--scale", default="n", choices=["n", "s", "m", "l", "x"])
     parser.add_argument("--limpiar", action="store_true")
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+
+def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n"):
+    """All folds in one SPMD program (mesh 'fold' axis when available)."""
+    from tpu_mslesseg.train import engine_parallel
+
+    config = ConfigTrain(modelo=modelo, epochs=epochs, fold_test=1)
+    config.verificar_paths()
+    num_cortes, _ = resolver_num_cortes(
+        num_cortes=modelo.num_cortes, input_dir=config.dataset_entrada,
+        plano=modelo.plano, modalidad=modelo.modalidad,
+    )
+    model, _ = create_model(nc=1, scale=scale)
+    cfg = train_cfg or TrainConfig(epochs=epochs)
+    return engine_parallel.train_folds_parallel(
+        model=model,
+        patients=listar_pacientes(config.dataset_entrada),
+        plano=modelo.plano,
+        modalidades=modelo.modalidad,
+        mejora=modelo.mejora,
+        num_cortes=num_cortes,
+        dataset_dir=config.dataset_entrada,
+        output_root=config.output_dir,
+        cfg=cfg,
+        k_folds=modelo.k_folds,
+    )
 
 
 def main(argv=None):
@@ -97,8 +129,11 @@ def main(argv=None):
         plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
         k_folds=args.k_folds, mejora=args.mejora,
     )
-    config = ConfigTrain(modelo=modelo, epochs=args.epochs, fold_test=args.fold_test)
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch)
+    if args.paralelo:
+        ejecutar_train_paralelo(modelo, args.epochs, train_cfg=cfg, scale=args.scale)
+        return
+    config = ConfigTrain(modelo=modelo, epochs=args.epochs, fold_test=args.fold_test)
     ejecutar_flujo_train(
         config, limpiar=args.limpiar, verbose=True, train_cfg=cfg, scale=args.scale
     )

@@ -259,11 +259,13 @@ def enhance_batch(slices, mejora: str | None, normalize: bool = True):
     return _KERNELS[mejora](imgs)
 
 
+@functools.partial(jax.jit, static_argnames=("mejora",))
 def enhance_for_model(slices, mejora: str | None):
     """Enhancement followed by the per-slice min-max stretch the PNG
     artifacts carry (``plt.imsave`` re-normalizes each slice,
     ``extraer_dataset.py:192``) — the reference model trains on the
     stretched PNGs, so model inputs must match. Only CLAHE's output can
     differ from the plain enhancement (its clipped LUT need not span
-    [0, 255])."""
+    [0, 255]). One fused jit program (eager dispatch through the TPU
+    tunnel costs more than the math)."""
     return normalize_to_uint8(enhance_batch(slices, mejora))

@@ -85,7 +85,7 @@ def main(argv=None):
     )
     idx = p.indices_a_usar(50)
     imgs = np.asarray(
-        enhance.enhance_batch(p.cortes_imagen_batch(idx, "FLAIR"), args.mejora)
+        enhance.enhance_for_model(p.cortes_imagen_batch(idx, "FLAIR"), args.mejora)
     )
     pred = SlicePredictor(
         model,

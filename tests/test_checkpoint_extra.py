@@ -1,13 +1,8 @@
 """Checkpoint atomicity + ResultsWriter resume semantics."""
 
 import csv
-import time
-from pathlib import Path
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpu_mslesseg.train import checkpoint
 from tpu_mslesseg.train.trainer import ResultsWriter
@@ -72,3 +67,18 @@ def test_results_writer_append(tmp_path):
         rows = list(csv.reader(f))
     assert [r[0] for r in rows] == ["epoch", "1", "2"]
     assert float(rows[2][1]) >= float(rows[1][1])  # time monotonic
+
+
+def test_results_writer_resume_drops_replayed_epochs(tmp_path):
+    """Checkpoint every 10 epochs + rows every epoch: resuming from epoch
+    21 must drop rows 21+ so replayed epochs don't duplicate."""
+    path = tmp_path / "results.csv"
+    w = ResultsWriter(path)
+    for e in range(1, 28):
+        w.write_epoch(e, {"box": 1.0}, {}, {}, 0.01)
+    w2 = ResultsWriter(path, append=True, from_epoch=21)
+    for e in range(21, 31):
+        w2.write_epoch(e, {"box": 0.5}, {}, {}, 0.01)
+    with open(path) as f:
+        epochs = [r[0] for r in list(csv.reader(f))[1:]]
+    assert epochs == [str(e) for e in range(1, 31)]

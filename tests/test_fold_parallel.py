@@ -75,3 +75,36 @@ def test_multi_fold_step_on_mesh(tiny_pool):
     assert len(np.unique(np.round(losses, 4))) > 1
     # steps advanced for every fold
     assert np.asarray(state.step).tolist() == [1, 1, 1, 1]
+
+
+def test_train_folds_parallel_engine_on_mesh(tmp_path, rng):
+    """Stage-level fold-parallel engine with explicit mesh placement."""
+    from tpu_mslesseg.io import nifti
+    from tpu_mslesseg.train import engine_parallel
+    from tpu_mslesseg.train.trainer import TrainConfig
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = meshlib.make_mesh(n_devices=2, fold_parallel=2)
+
+    shape = (24, 28, 24)
+    ds = tmp_path / "MSLesSeg-Dataset" / "train"
+    for pid in ("P1", "P30"):  # folds 1 and 2 of 2
+        vol = rng.normal(800, 150, shape).astype(np.float32)
+        mask = np.zeros(shape, np.float32)
+        mask[6:14, 8:18, 4:20] = 1
+        nifti.save(vol, np.eye(4), ds / pid / "T1" / f"{pid}_T1_FLAIR.nii.gz")
+        nifti.save(mask, np.eye(4), ds / pid / "T1" / f"{pid}_T1_MASK.nii.gz")
+
+    cfg = TrainConfig(epochs=1, batch_size=2, imgsz=64, max_fg=8, close_mosaic=0)
+    model, _ = create_model(nc=1, scale="n")
+    summary = engine_parallel.train_folds_parallel(
+        model=model, patients=["P1", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=4,
+        dataset_dir=ds, output_root=tmp_path / "out", cfg=cfg,
+        k_folds=2, mesh=mesh,
+    )
+    assert set(summary) == {"fold1", "fold2"}
+    for k in (1, 2):
+        assert (tmp_path / "out" / f"fold{k}" / "weights" / "best.ckpt").is_dir()
+        assert (tmp_path / "out" / f"fold{k}" / "results.csv").exists()

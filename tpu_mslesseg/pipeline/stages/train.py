@@ -97,12 +97,42 @@ def parsear_args(argv=None):
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
 
 
-def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n"):
+def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
+                            limpiar=False):
     """All folds in one SPMD program (mesh 'fold' axis when available)."""
-    from tpu_mslesseg.train import engine_parallel
+    import math
+
+    import jax
+
+    from tpu_mslesseg.core import mesh as meshlib
+    from tpu_mslesseg.train import engine, engine_parallel
 
     config = ConfigTrain(modelo=modelo, epochs=epochs, fold_test=1)
     config.verificar_paths()
+
+    fold_dirs = [config.output_dir / f"fold{k}" for k in
+                 range(1, modelo.k_folds + 1)]
+    if limpiar:
+        from tpu_mslesseg.pipeline.paths import eliminar_directorio
+
+        for d in fold_dirs:
+            eliminar_directorio(d)
+    elif all(engine.entrenamiento_exitoso(d) for d in fold_dirs):
+        logger.skip("⏩ Todos los folds ya entrenados.")
+        return None
+
+    # fold axis sized to divide both the device count and k_folds; on a
+    # single chip the folds are time-multiplexed in one compiled program
+    n_dev = len(jax.devices())
+    fold_par = math.gcd(n_dev, modelo.k_folds)
+    mesh = meshlib.make_mesh(fold_parallel=fold_par) if fold_par > 1 else None
+    logger.info(
+        f"🕸️ Mesh fold-parallel: {fold_par}x{n_dev // max(fold_par, 1)} "
+        f"(dispositivos={n_dev})."
+        if mesh is not None
+        else f"🕸️ Un dispositivo: folds multiplexados en un solo programa."
+    )
+
     num_cortes, _ = resolver_num_cortes(
         num_cortes=modelo.num_cortes, input_dir=config.dataset_entrada,
         plano=modelo.plano, modalidad=modelo.modalidad,
@@ -120,6 +150,7 @@ def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n"):
         output_root=config.output_dir,
         cfg=cfg,
         k_folds=modelo.k_folds,
+        mesh=mesh,
     )
 
 
@@ -131,7 +162,10 @@ def main(argv=None):
     )
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch)
     if args.paralelo:
-        ejecutar_train_paralelo(modelo, args.epochs, train_cfg=cfg, scale=args.scale)
+        ejecutar_train_paralelo(
+            modelo, args.epochs, train_cfg=cfg, scale=args.scale,
+            limpiar=args.limpiar,
+        )
         return
     config = ConfigTrain(modelo=modelo, epochs=args.epochs, fold_test=args.fold_test)
     ejecutar_flujo_train(

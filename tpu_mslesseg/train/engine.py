@@ -126,7 +126,9 @@ def train_fold(
     step_fn = trainer.make_train_step(model, cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
     val_step = validate.make_val_step(model, loss_cfg) if val_set is not None else None
-    results = trainer.ResultsWriter(out / "results.csv", append=start_epoch > 1)
+    results = trainer.ResultsWriter(
+        out / "results.csv", append=start_epoch > 1, from_epoch=start_epoch
+    )
 
     acfg_mosaic = augment.AugConfig(
         imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=True
@@ -145,11 +147,19 @@ def train_fold(
 
     fitness_file = weights / "fitness.json"
     best_fit = -1.0
-    if start_epoch > 1 and fitness_file.exists():
-        try:
-            best_fit = float(json.loads(fitness_file.read_text())["best_fitness"])
-        except (ValueError, KeyError):
-            pass
+    if start_epoch > 1:
+        if fitness_file.exists():
+            try:
+                best_fit = float(
+                    json.loads(fitness_file.read_text())["best_fitness"]
+                )
+            except (ValueError, KeyError, TypeError):
+                pass
+        if best_fit < 0 and checkpoint.checkpoint_exists(weights / "best.ckpt"):
+            # a best checkpoint with unknown fitness (pre-fitness.json or a
+            # crash between saves): require a non-trivial improvement
+            # before overwriting it
+            best_fit = 0.0
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic

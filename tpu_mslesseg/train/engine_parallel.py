@@ -72,22 +72,43 @@ def train_folds_parallel(
         model, cfg, steps_per_epoch, acfg_p, mesh=mesh
     )
 
+    from contextlib import nullcontext
+
     dd = pool.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
-    for epoch in range(1, cfg.epochs + 1):
-        step = step_m if epoch <= cfg.epochs - cfg.close_mosaic else step_p
-        metrics = None
-        for _ in range(steps_per_epoch):
-            key, k = jax.random.split(key)
-            state, metrics = step(
-                state, jax.random.split(k, k_folds), pools, counts, dd
-            )
-        if epoch % 10 == 0 or epoch == cfg.epochs:
-            losses = np.asarray(metrics["loss"])
-            logger.info(
-                f"🏋️ Época {epoch}/{cfg.epochs}: pérdidas por fold "
-                f"{np.round(losses, 2).tolist()}"
-            )
+
+    fold_sh = None
+    if mesh is not None:
+        # committed single-device arrays can't be auto-resharded by jit:
+        # place the stacked state/pools on the fold axis, the pool replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_mslesseg.core import mesh as meshlib
+
+        fold_sh = NamedSharding(mesh, P(meshlib.FOLD_AXIS))
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, fold_sh)
+        pools = jax.device_put(pools, fold_sh)
+        counts = jax.device_put(counts, fold_sh)
+        dd = jax.device_put(dd, repl)
+
+    with mesh if mesh is not None else nullcontext():
+        for epoch in range(1, cfg.epochs + 1):
+            step = step_m if epoch <= cfg.epochs - cfg.close_mosaic else step_p
+            step_losses = []
+            for _ in range(steps_per_epoch):
+                key, k = jax.random.split(key)
+                keys = jax.random.split(k, k_folds)
+                if fold_sh is not None:
+                    keys = jax.device_put(keys, fold_sh)
+                state, metrics = step(state, keys, pools, counts, dd)
+                step_losses.append(metrics["loss"])
+            if epoch % 10 == 0 or epoch == cfg.epochs:
+                losses = np.mean(jax.device_get(step_losses), axis=0)
+                logger.info(
+                    f"🏋️ Época {epoch}/{cfg.epochs}: pérdidas por fold "
+                    f"{np.round(losses, 2).tolist()}"
+                )
 
     # per-fold validation + artifacts
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)

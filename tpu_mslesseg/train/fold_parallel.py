@@ -92,7 +92,7 @@ def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
     if mesh is None:
         return jax.jit(local_folds)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fold = P(meshlib.FOLD_AXIS)
     mapped = shard_map(
@@ -100,7 +100,6 @@ def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
         mesh=mesh,
         in_specs=(fold, fold, fold, fold, P()),
         out_specs=(fold, fold),
-        check_rep=False,
     )
     return jax.jit(mapped)
 

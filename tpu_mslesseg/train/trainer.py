@@ -174,16 +174,25 @@ class ResultsWriter:
     """Per-epoch results.csv in the reference schema (``results.csv`` header
     of the shipped training runs)."""
 
-    def __init__(self, path, append: bool = False):
+    def __init__(self, path, append: bool = False, from_epoch: int | None = None):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.t0 = time.time()
         if append and self.path.exists():
-            # resume: keep prior epochs, continue the wall-clock column
+            # resume: keep rows before the resume point (the checkpoint is
+            # saved every 10 epochs, so later rows would otherwise appear
+            # twice) and continue the wall-clock column
             try:
                 with open(self.path) as f:
-                    last = list(csv.reader(f))[-1]
-                self.t0 = time.time() - float(last[1])
+                    rows = list(csv.reader(f))
+                kept = [rows[0]] + [
+                    r for r in rows[1:]
+                    if from_epoch is None or int(r[0]) < from_epoch
+                ]
+                with open(self.path, "w", newline="") as f:
+                    csv.writer(f).writerows(kept)
+                if len(kept) > 1:
+                    self.t0 = time.time() - float(kept[-1][1])
             except (IndexError, ValueError):
                 pass
             return

@@ -56,6 +56,19 @@ def ejecutar_flujo_train(
     model, _ = create_model(nc=1, scale=scale)
     cfg = train_cfg or TrainConfig(epochs=config.epochs)
     patients = listar_pacientes(config.dataset_entrada)
+
+    # data-parallel mesh over every available device (the reference's
+    # Ultralytics loop auto-selects one device, args.yaml:13; ours shards
+    # the batch over all chips)
+    import jax
+
+    from tpu_mslesseg.core import mesh as meshlib
+
+    n_dev = len(jax.devices())
+    mesh = meshlib.make_mesh(fold_parallel=1) if n_dev > 1 else None
+    if mesh is not None:
+        logger.info(f"🕸️ Mesh data-parallel: {n_dev} dispositivos.")
+
     summary = engine.train_fold(
         model=model,
         fold_test=config.fold_test,
@@ -68,6 +81,7 @@ def ejecutar_flujo_train(
         output_dir=config.fold_dir,
         cfg=cfg,
         k_folds=config.modelo.k_folds,
+        mesh=mesh,
     )
     logger.info(f"✅ Entrenamiento del fold {config.fold_test} completado: {summary}")
     return True

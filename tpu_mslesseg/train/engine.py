@@ -98,6 +98,21 @@ def train_fold(
         logger.info(f"📉 Batch ajustado a {eff} (dataset de {len(train_set)} cortes).")
         cfg = replace(cfg, batch_size=eff)
 
+    # data-parallel mesh: the batch dim shards over the 'data' axis, so it
+    # must be a multiple of that axis size (params/opt state replicated,
+    # XLA inserts the gradient all-reduce)
+    n_data = 1
+    if mesh is not None:
+        from dataclasses import replace
+
+        from tpu_mslesseg.core import mesh as meshlib
+
+        n_data = int(mesh.shape[meshlib.DATA_AXIS])
+        bs = max(meshlib.pad_to_multiple(cfg.batch_size, n_data), n_data)
+        if bs != cfg.batch_size:
+            logger.info(f"📐 Batch {cfg.batch_size} -> {bs} (eje data={n_data}).")
+            cfg = replace(cfg, batch_size=bs)
+
     steps_per_epoch = max(len(train_set) // cfg.batch_size, 1)
     state = trainer.init_train_state(model, cfg, steps_per_epoch)
     start_epoch = 1
@@ -141,6 +156,15 @@ def train_fold(
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
 
+    repl_sh = data_sh = None
+    if mesh is not None:
+        from tpu_mslesseg.core import mesh as meshlib
+
+        repl_sh = meshlib.replicated(mesh)
+        data_sh = meshlib.data_sharding(mesh)
+        state = jax.device_put(state, repl_sh)
+        dd = jax.device_put(dd, repl_sh)
+
     # best fitness persists next to the weights so a resumed run never
     # demotes an earlier, better best.ckpt
     import json
@@ -171,7 +195,13 @@ def train_fold(
         step_metrics = []
         for s in range(idx.shape[0]):
             key, k_aug = jax.random.split(key)
-            batch = augment.make_batch(k_aug, dd, idx[s], acfg)
+            idx_s = idx[s]
+            if mesh is not None:
+                # shard the source indices over 'data': augmentation and the
+                # train step then run SPMD over the batch dim end to end
+                k_aug = jax.device_put(k_aug, repl_sh)
+                idx_s = jax.device_put(idx_s, data_sh)
+            batch = augment.make_batch(k_aug, dd, idx_s, acfg)
             state, m = step_fn(state, batch)
             step_metrics.append(m)
         fetched = jax.device_get(step_metrics)
@@ -185,10 +215,12 @@ def train_fold(
                 "params": state.ema_params,
                 "batch_stats": state.batch_stats,
             }
+            val_bs = min(cfg.batch_size, 16)
+            val_bs = -(-val_bs // n_data) * n_data  # multiple of the data axis
             val_metrics, val_losses = validate.run_validation(
                 model, variables, val_set, loss_cfg,
-                batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
-                step=val_step,
+                batch_size=val_bs, imgsz=cfg.imgsz,
+                step=val_step, mesh=mesh,
             )
         else:
             val_metrics, val_losses = {}, {}

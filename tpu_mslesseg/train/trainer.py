@@ -114,11 +114,15 @@ def init_train_state(model, cfg: TrainConfig, steps_per_epoch: int, rng=None):
     )
 
 
-def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
+def make_train_step_fn(model, cfg: TrainConfig, steps_per_epoch: int,
+                       axis_name: str | None = None):
+    """Un-jitted train step. Under jit-SPMD (sharded batch, replicated
+    params) XLA inserts the gradient all-reduce itself; inside `shard_map`
+    pass `axis_name` and the step pmean-s grads/batch_stats/metrics over
+    that mesh axis explicitly."""
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
         def loss_fn(params):
             out, mutated = model.apply(
@@ -137,6 +141,11 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            parts = jax.lax.pmean(parts, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -157,6 +166,12 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
         return new_state, metrics
 
     return step
+
+
+def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
+    return jax.jit(
+        make_train_step_fn(model, cfg, steps_per_epoch), donate_argnums=(0,)
+    )
 
 
 RESULTS_HEADER = [

@@ -97,11 +97,14 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
 
 
 def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
-                   batch_size: int = 16, imgsz: int = 640, step=None):
+                   batch_size: int = 16, imgsz: int = 640, step=None,
+                   mesh=None):
     """Full val pass -> (val_metrics dict for results.csv, val_losses dict).
 
     Pass a cached `step` from `make_val_step` when validating repeatedly —
-    rebuilding it per call recompiles the whole val program."""
+    rebuilding it per call recompiles the whole val program. With a mesh,
+    variables/dataset are replicated and each val batch shards over the
+    'data' axis (the NMS+match program runs SPMD)."""
     acfg = val_aug_config(val_dset.max_inst, imgsz)
     if step is None:
         step = make_val_step(model, loss_cfg)
@@ -111,6 +114,16 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
     loss_sums, n_batches = {}, 0
     key = jax.random.PRNGKey(0)
 
+    repl_sh = data_sh = None
+    if mesh is not None:
+        from tpu_mslesseg.core import mesh as meshlib
+
+        repl_sh = meshlib.replicated(mesh)
+        data_sh = meshlib.data_sharding(mesh)
+        variables = jax.device_put(variables, repl_sh)
+        dd = jax.device_put(dd, repl_sh)
+        key = jax.device_put(key, repl_sh)
+
     for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0), batch_size):
         idx_np = np.arange(start, min(start + batch_size, n))
         if len(idx_np) < batch_size:  # pad final batch by repeating last
@@ -119,6 +132,8 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
         else:
             real = batch_size
         idx = jnp.asarray(idx_np)[:, None].repeat(4, axis=1)
+        if mesh is not None:
+            idx = jax.device_put(idx, data_sh)
         batch = augment.make_batch(key, dd, idx, acfg)
         losses, match = step(variables, batch)
         n_batches += 1

@@ -69,6 +69,7 @@ def ejecutar_pipeline(
     limpiar: bool = False,
     umbral_consenso: int = 2,
     train_cfg=None,
+    train_paralelo: bool = True,
 ):
     """Full pipeline for one experiment config (or one patient)."""
     from tpu_mslesseg.core.profiling import stage_timer
@@ -89,21 +90,35 @@ def ejecutar_pipeline(
         else list(range(1, modelo.k_folds + 1))
     )
 
-    # Stage 2: training (optional; skipped per-fold when weights exist)
-    for k in folds:
-        if existe_modelo_entrenado(modelo, epochs, k):
-            logger.skip(f"⏩ Modelo del fold {k} ya entrenado.")
-            continue
-        if not entrenar:
-            logger.warning(
-                f"⚠️ Fold {k} sin modelo entrenado y --entrenar no indicado."
+    # Stage 2: training (optional; skipped per-fold when weights exist).
+    # Multi-fold experiments default to the fold-parallel SPMD engine —
+    # all folds in one compiled program over the (fold, data) mesh; the
+    # sequential per-fold path remains for patient mode / --train_secuencial
+    # / partially-trained experiments (per-fold skip is finer-grained).
+    untrained = [k for k in folds if not existe_modelo_entrenado(modelo, epochs, k)]
+    if (
+        entrenar and paciente is None and train_paralelo
+        and len(folds) > 1 and len(untrained) == len(folds)
+    ):
+        with stage_timer("train_paralelo"):
+            train_stage.ejecutar_train_paralelo(
+                modelo, epochs, train_cfg=train_cfg, limpiar=limpiar
             )
-            continue
-        with stage_timer(f"train_fold{k}"):
-            train_stage.ejecutar_train_pipeline(
-                modelo, epochs=epochs, fold_test=k, limpiar=limpiar,
-                train_cfg=train_cfg,
-            )
+    else:
+        for k in folds:
+            if existe_modelo_entrenado(modelo, epochs, k):
+                logger.skip(f"⏩ Modelo del fold {k} ya entrenado.")
+                continue
+            if not entrenar:
+                logger.warning(
+                    f"⚠️ Fold {k} sin modelo entrenado y --entrenar no indicado."
+                )
+                continue
+            with stage_timer(f"train_fold{k}"):
+                train_stage.ejecutar_train_pipeline(
+                    modelo, epochs=epochs, fold_test=k, limpiar=limpiar,
+                    train_cfg=train_cfg,
+                )
 
     # Stages 3-4: prediction + reconstruction
     for k in folds:
@@ -180,11 +195,21 @@ def parsear_args(argv=None):
     group.add_argument("--completo", action="store_true")
     group.add_argument("--paciente_id", type=str)
     parser.add_argument("--entrenar", action="store_true")
+    parser.add_argument(
+        "--train_secuencial", action="store_true",
+        help="Entrenar los folds uno a uno (por defecto: todos los folds "
+             "en un solo programa SPMD sobre el mesh fold-parallel).",
+    )
     parser.add_argument("--limpiar", action="store_true")
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
 
 
 def main(argv=None):
+    # multi-host opt-in (no-op single-process): must run before the first
+    # device query so the JAX backends bind to the global topology
+    from tpu_mslesseg.core import distributed
+
+    distributed.maybe_initialize()
     configure_logging(log_file="pipeline.log")
     args = parsear_args(argv)
     modelo = Modelo(
@@ -202,6 +227,7 @@ def main(argv=None):
             modelo=modelo, epochs=args.epochs, paciente=paciente,
             entrenar=args.entrenar, limpiar=args.limpiar,
             umbral_consenso=args.umbral_consenso,
+            train_paralelo=not args.train_secuencial,
         )
     except Exception as e:
         logger.error(f"❌ Error en el pipeline: {e}")

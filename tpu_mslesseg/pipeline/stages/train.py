@@ -23,6 +23,14 @@ from tpu_mslesseg.train.trainer import TrainConfig
 logger = get_logger(__file__)
 
 
+def _compute_dtype(cfg: TrainConfig):
+    """bf16 compute under AMP (reference args.yaml:8), f32 otherwise.
+    Master params / optimizer / BN stats stay f32 either way."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg.amp else jnp.float32
+
+
 def ejecutar_flujo_train(
     config: ConfigTrain, limpiar=False, verbose=False, train_cfg: TrainConfig = None,
     scale: str = "n",
@@ -53,8 +61,8 @@ def ejecutar_flujo_train(
         modalidad=config.modelo.modalidad,
     )
 
-    model, _ = create_model(nc=1, scale=scale)
     cfg = train_cfg or TrainConfig(epochs=config.epochs)
+    model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
     patients = listar_pacientes(config.dataset_entrada)
 
     # data-parallel mesh over every available device (the reference's
@@ -106,7 +114,16 @@ def parsear_args(argv=None):
              "(eje 'fold' del mesh).",
     )
     parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument(
+        "--imgsz", type=int, default=640,
+        help="Lado de la entrada de red (divisible por 32).",
+    )
     parser.add_argument("--scale", default="n", choices=["n", "s", "m", "l", "x"])
+    parser.add_argument(
+        "--no_amp", action="store_true",
+        help="Entrenar en f32 puro (por defecto: bf16 mixto, como el AMP "
+             "del flujo de referencia).",
+    )
     parser.add_argument("--limpiar", action="store_true")
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
 
@@ -114,12 +131,10 @@ def parsear_args(argv=None):
 def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
                             limpiar=False):
     """All folds in one SPMD program (mesh 'fold' axis when available)."""
-    import math
-
     import jax
 
     from tpu_mslesseg.core import mesh as meshlib
-    from tpu_mslesseg.train import engine, engine_parallel
+    from tpu_mslesseg.train import engine, engine_parallel, fold_parallel
 
     config = ConfigTrain(modelo=modelo, epochs=epochs, fold_test=1)
     config.verificar_paths()
@@ -135,24 +150,26 @@ def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
         logger.skip("⏩ Todos los folds ya entrenados.")
         return None
 
-    # fold axis sized to divide both the device count and k_folds; on a
-    # single chip the folds are time-multiplexed in one compiled program
+    # 2D (fold, data) factorization: smallest fold axis covering all folds
+    # (padded with dummies when k doesn't divide), leftover devices shard
+    # each fold's batch over 'data' — 8 devices x 5 folds => fold=8, all
+    # devices busy (the old gcd rule degenerated to 1 there)
     n_dev = len(jax.devices())
-    fold_par = math.gcd(n_dev, modelo.k_folds)
-    mesh = meshlib.make_mesh(fold_parallel=fold_par) if fold_par > 1 else None
+    fold_par, k_pad = fold_parallel.plan_fold_mesh(n_dev, modelo.k_folds)
+    mesh = meshlib.make_mesh(fold_parallel=fold_par) if n_dev > 1 else None
     logger.info(
-        f"🕸️ Mesh fold-parallel: {fold_par}x{n_dev // max(fold_par, 1)} "
-        f"(dispositivos={n_dev})."
+        f"🕸️ Mesh fold-parallel: fold={fold_par} x data={n_dev // fold_par} "
+        f"({modelo.k_folds} folds -> {k_pad} con relleno)."
         if mesh is not None
-        else f"🕸️ Un dispositivo: folds multiplexados en un solo programa."
+        else "🕸️ Un dispositivo: folds multiplexados en un solo programa."
     )
 
     num_cortes, _ = resolver_num_cortes(
         num_cortes=modelo.num_cortes, input_dir=config.dataset_entrada,
         plano=modelo.plano, modalidad=modelo.modalidad,
     )
-    model, _ = create_model(nc=1, scale=scale)
     cfg = train_cfg or TrainConfig(epochs=epochs)
+    model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
     return engine_parallel.train_folds_parallel(
         model=model,
         patients=listar_pacientes(config.dataset_entrada),
@@ -174,7 +191,10 @@ def main(argv=None):
         plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
         k_folds=args.k_folds, mejora=args.mejora,
     )
-    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch)
+    cfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch, amp=not args.no_amp,
+        imgsz=args.imgsz,
+    )
     if args.paralelo:
         ejecutar_train_paralelo(
             modelo, args.epochs, train_cfg=cfg, scale=args.scale,

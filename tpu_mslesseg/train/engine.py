@@ -30,6 +30,10 @@ def _write_args_yaml(path, cfg: TrainConfig, **extra):
 
     import yaml
 
+    from tpu_mslesseg.core import distributed
+
+    if not distributed.is_main_process():
+        return
     payload = {**dataclasses.asdict(cfg), **extra}
     payload = {
         k: (list(v) if isinstance(v, (tuple, set)) else v)
@@ -155,6 +159,11 @@ def train_fold(
 
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
+    # replay the key chain up to the resume point (1 epoch split + 1 split
+    # per step) so a resumed run draws the batches the uninterrupted run
+    # would have drawn
+    for _ in range((start_epoch - 1) * (1 + steps_per_epoch)):
+        key, _ = jax.random.split(key)
 
     repl_sh = data_sh = None
     if mesh is not None:
@@ -242,8 +251,13 @@ def train_fold(
             checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
         if val_metrics and fit >= best_fit:
             best_fit = fit
+            # orbax saves are collective: EVERY process calls them;
+            # the plain-file fitness note is process-0 only
             checkpoint.save_checkpoint(weights / "best.ckpt", state)
-            fitness_file.write_text(json.dumps({"best_fitness": best_fit}))
+            from tpu_mslesseg.core import distributed
+
+            if distributed.is_main_process():
+                fitness_file.write_text(json.dumps({"best_fitness": best_fit}))
 
     if best_fit < 0 and not checkpoint.checkpoint_exists(weights / "best.ckpt"):
         # no validation ever ran AND no previous best exists: final

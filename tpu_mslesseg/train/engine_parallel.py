@@ -2,21 +2,30 @@
 
 Stage-level wrapper over train/fold_parallel.py: builds ONE shared
 device-resident slice pool (all patients), derives per-fold training
-pools, advances all k folds per step, then per fold runs the standard
-validation pass and writes the usual artifacts (results.csv summary row,
-weights/best+last). On a (fold, data) mesh the folds run concurrently;
-single-chip they are time-multiplexed inside the same compiled program
-(still removing per-fold compile/setup overhead vs sequential training).
+pools, and advances all k folds per step. On a (fold, data) mesh the
+folds run concurrently (batches further sharded over 'data'); single-chip
+they are time-multiplexed inside the same compiled program (still
+removing per-fold compile/setup overhead vs sequential training).
+
+Feature parity with the sequential engine (train/engine.py): per-epoch
+validation + per-epoch results.csv rows (reference schema), fitness-based
+best.ckpt selection with persisted fitness, periodic last.ckpt saves, and
+crash resume. Resume state is the stacked multi-fold checkpoint
+(`_parallel/last.ckpt`) so all folds restart from the same epoch
+atomically; the per-fold artifacts are indistinguishable from the
+sequential engine's (reference success criterion ``train.py:105-116``).
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu_mslesseg.core import distributed
 from tpu_mslesseg.pipeline.logging_setup import get_logger
 from tpu_mslesseg.pipeline.paciente import calcular_fold
 from tpu_mslesseg.train import (
@@ -33,6 +42,15 @@ from tpu_mslesseg.train.trainer import TrainConfig, fitness
 logger = get_logger(__file__)
 
 
+def _fold_variables(state_F, fold: int):
+    """One fold's EMA inference variables, fetched off the mesh (host copy;
+    mesh-sharded slices can't mix with default-device val batches)."""
+    fold_state = fold_parallel.extract_fold_state(state_F, fold)
+    return jax.device_get(
+        {"params": fold_state.ema_params, "batch_stats": fold_state.batch_stats}
+    )
+
+
 def train_folds_parallel(
     model,
     patients: list,
@@ -45,26 +63,77 @@ def train_folds_parallel(
     cfg: TrainConfig = TrainConfig(),
     k_folds: int = 5,
     mesh=None,
+    val_every: int = 1,
+    resume: bool = True,
 ) -> dict:
     """Train every fold concurrently. output_root/fold<k>/ receives the
     standard per-fold artifacts."""
+    from contextlib import nullcontext
+    from dataclasses import replace
+
+    output_root = Path(output_root)
+    n_data = 1
+    k_pad = k_folds
+    if mesh is not None:
+        from tpu_mslesseg.core import mesh as meshlib
+
+        fold_par = int(mesh.shape[meshlib.FOLD_AXIS])
+        n_data = int(mesh.shape[meshlib.DATA_AXIS])
+        k_pad = -(-k_folds // fold_par) * fold_par
+        bs = max(-(-cfg.batch_size // n_data) * n_data, n_data)
+        if bs != cfg.batch_size:
+            logger.info(f"📐 Batch {cfg.batch_size} -> {bs} (eje data={n_data}).")
+            cfg = replace(cfg, batch_size=bs)
+
     pool = tdata.build_dataset(
         patients, plano, modalidades, mejora, num_cortes, dataset_dir,
         train_size=cfg.imgsz,
     )
     pools, counts = fold_parallel.build_fold_index_pools(
-        pool.meta, k_folds, calcular_fold
+        pool.meta, k_folds, calcular_fold, k_pad=k_pad
     )
-    n_min = int(np.asarray(counts).min())
+    n_min = int(np.asarray(counts[:k_folds]).min())
+    if cfg.batch_size > n_min:
+        eff = max(1 << max((n_min // 2).bit_length() - 1, 2), 4)
+        eff = max(-(-eff // n_data) * n_data, n_data)
+        logger.info(f"📉 Batch ajustado a {eff} (pool mínimo de {n_min} cortes).")
+        cfg = replace(cfg, batch_size=eff)
     steps_per_epoch = max(n_min // cfg.batch_size, 1)
     logger.info(
-        f"🧠 Entrenamiento fold-parallel: {k_folds} folds, pool de "
-        f"{len(pool)} cortes, {steps_per_epoch} pasos/época."
+        f"🧠 Entrenamiento fold-parallel: {k_folds} folds"
+        + (f" (+{k_pad - k_folds} relleno)" if k_pad > k_folds else "")
+        + f", pool de {len(pool)} cortes, {steps_per_epoch} pasos/época."
     )
 
     acfg_m = augment.AugConfig(imgsz=cfg.imgsz, max_inst=pool.max_inst, mosaic=True)
     acfg_p = augment.AugConfig(imgsz=cfg.imgsz, max_inst=pool.max_inst, mosaic=False)
-    state = fold_parallel.init_multi_fold_state(model, cfg, steps_per_epoch, k_folds)
+    state = fold_parallel.init_multi_fold_state(model, cfg, steps_per_epoch, k_pad)
+
+    # --- resume from the stacked checkpoint (atomic across folds) ---
+    start_epoch = 1
+    stacked_ckpt = output_root / "_parallel" / "last.ckpt"
+    if resume and checkpoint.checkpoint_exists(stacked_ckpt):
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        try:
+            restored = checkpoint.load_checkpoint(stacked_ckpt, template)
+            state = trainer.TrainState(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                ema_params=restored["ema_params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"]),
+            )
+            start_epoch = int(np.asarray(restored["step"]).max()) // steps_per_epoch + 1
+            logger.info(f"🔁 Reanudando todos los folds desde la época {start_epoch}.")
+        except Exception as e:
+            logger.warning(f"⚠️ No se pudo reanudar desde el checkpoint apilado: {e}")
+
     step_m = fold_parallel.make_multi_fold_step(
         model, cfg, steps_per_epoch, acfg_m, mesh=mesh
     )
@@ -72,10 +141,12 @@ def train_folds_parallel(
         model, cfg, steps_per_epoch, acfg_p, mesh=mesh
     )
 
-    from contextlib import nullcontext
-
     dd = pool.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
+    # replay the key chain up to the resume point so a resumed run draws
+    # the same batches the uninterrupted run would have
+    for _ in range((start_epoch - 1) * steps_per_epoch):
+        key, _ = jax.random.split(key)
 
     fold_sh = None
     if mesh is not None:
@@ -92,62 +163,116 @@ def train_folds_parallel(
         counts = jax.device_put(counts, fold_sh)
         dd = jax.device_put(dd, repl)
 
+    # --- per-fold artifacts: writers, val sets, persisted fitness ---
+    loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
+    val_step = validate.make_val_step(model, loss_cfg)
+    fold_dirs, writers, val_sets, best_fits = [], [], [], []
+    for f in range(k_folds):
+        out = output_root / f"fold{f + 1}"
+        (out / "weights").mkdir(parents=True, exist_ok=True)
+        fold_dirs.append(out)
+        writers.append(trainer.ResultsWriter(
+            out / "results.csv", append=start_epoch > 1, from_epoch=start_epoch
+        ))
+        _, test_ids = tdata.fold_patient_split(patients, f + 1, k_folds)
+        try:
+            val_sets.append(tdata.build_dataset(
+                test_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
+                train_size=cfg.imgsz, max_inst=pool.max_inst,
+            ))
+        except (ValueError, FileNotFoundError) as e:
+            logger.warning(f"⚠️ Fold {f + 1} sin cortes de validación: {e}")
+            val_sets.append(None)
+        bf = -1.0
+        if start_epoch > 1:
+            ff = out / "weights" / "fitness.json"
+            if ff.exists():
+                try:
+                    bf = float(json.loads(ff.read_text())["best_fitness"])
+                except (ValueError, KeyError, TypeError):
+                    pass
+            if bf < 0 and checkpoint.checkpoint_exists(out / "weights" / "best.ckpt"):
+                bf = 0.0
+        best_fits.append(bf)
+
+    sched = trainer.lr_schedule(cfg, steps_per_epoch)
+
     with mesh if mesh is not None else nullcontext():
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             step = step_m if epoch <= cfg.epochs - cfg.close_mosaic else step_p
-            step_losses = []
+            step_metrics = []
             for _ in range(steps_per_epoch):
                 key, k = jax.random.split(key)
-                keys = jax.random.split(k, k_folds)
+                keys = jax.random.split(k, k_pad)
                 if fold_sh is not None:
                     keys = jax.device_put(keys, fold_sh)
                 state, metrics = step(state, keys, pools, counts, dd)
-                step_losses.append(metrics["loss"])
-            if epoch % 10 == 0 or epoch == cfg.epochs:
-                losses = np.mean(jax.device_get(step_losses), axis=0)
-                logger.info(
-                    f"🏋️ Época {epoch}/{cfg.epochs}: pérdidas por fold "
-                    f"{np.round(losses, 2).tolist()}"
-                )
+                step_metrics.append(metrics)
+            fetched = jax.device_get(step_metrics)  # list of {k: [k_pad]}
+            # per-fold mean over the epoch's steps
+            train_losses = {
+                k: np.mean([m[k] for m in fetched], axis=0)
+                for k in ("box", "seg", "cls", "dfl")
+            }
 
-    # per-fold validation + artifacts
-    loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
-    val_step = validate.make_val_step(model, loss_cfg)
+            do_val = epoch % val_every == 0 or epoch == cfg.epochs
+            lr = float(sched(int(np.asarray(state.step).max()) - 1))
+            map50s = []
+            for f in range(k_folds):
+                val_metrics, val_losses = {}, {}
+                if do_val and val_sets[f] is not None:
+                    variables = _fold_variables(state, f)
+                    val_metrics, val_losses = validate.run_validation(
+                        model, variables, val_sets[f], loss_cfg,
+                        batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
+                        step=val_step,
+                    )
+                writers[f].write_epoch(
+                    epoch,
+                    {k: float(v[f]) for k, v in train_losses.items()},
+                    val_metrics, val_losses, lr,
+                )
+                fit = fitness(val_metrics)
+                map50s.append(val_metrics.get("map50_m", 0.0))
+                if val_metrics and fit >= best_fits[f]:
+                    best_fits[f] = fit
+                    fold_state = fold_parallel.extract_fold_state(state, f)
+                    # orbax saves are collective (all processes); the
+                    # plain-file fitness note is process-0 only
+                    checkpoint.save_checkpoint(
+                        fold_dirs[f] / "weights" / "best.ckpt", fold_state
+                    )
+                    if distributed.is_main_process():
+                        (fold_dirs[f] / "weights" / "fitness.json").write_text(
+                            json.dumps({"best_fitness": best_fits[f]})
+                        )
+            logger.info(
+                f"🏋️ Época {epoch}/{cfg.epochs}: pérdida media "
+                f"{float(np.mean(train_losses['box'][:k_folds])):.3f}/"
+                f"{float(np.mean(train_losses['seg'][:k_folds])):.3f}/"
+                f"{float(np.mean(train_losses['cls'][:k_folds])):.3f}/"
+                f"{float(np.mean(train_losses['dfl'][:k_folds])):.3f} "
+                + (f"mAP50(M) por fold {np.round(map50s, 3).tolist()}" if do_val else "")
+            )
+
+            # checkpoint IO dominates sub-second epochs: stacked resume
+            # point + per-fold last every 10 epochs and at the end
+            if epoch % 10 == 0 or epoch == cfg.epochs:
+                checkpoint.save_checkpoint(stacked_ckpt, state, include_opt=True)
+                for f in range(k_folds):
+                    checkpoint.save_checkpoint(
+                        fold_dirs[f] / "weights" / "last.ckpt",
+                        fold_parallel.extract_fold_state(state, f),
+                    )
+
     summary = {}
     for f in range(k_folds):
-        fold_state = fold_parallel.extract_fold_state(state, f)
-        out = Path(output_root) / f"fold{f + 1}"
-        weights = out / "weights"
-        weights.mkdir(parents=True, exist_ok=True)
-
-        _, test_ids = tdata.fold_patient_split(patients, f + 1, k_folds)
-        val_metrics = {}
-        try:
-            val_set = tdata.build_dataset(
-                test_ids, plano, modalidades, mejora, num_cortes, dataset_dir,
-                train_size=cfg.imgsz, max_inst=pool.max_inst,
+        weights = fold_dirs[f] / "weights"
+        if best_fits[f] < 0 and not checkpoint.checkpoint_exists(weights / "best.ckpt"):
+            # no validation ever ran AND no previous best exists
+            checkpoint.save_checkpoint(
+                weights / "best.ckpt", fold_parallel.extract_fold_state(state, f)
             )
-            variables = {
-                "params": fold_state.ema_params,
-                "batch_stats": fold_state.batch_stats,
-            }
-            val_metrics, val_losses = validate.run_validation(
-                model, variables, val_set, loss_cfg,
-                batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
-                step=val_step,
-            )
-        except (ValueError, FileNotFoundError) as e:
-            logger.warning(f"⚠️ Fold {f + 1} sin validación: {e}")
-            val_losses = {}
-
-        results = trainer.ResultsWriter(out / "results.csv")
-        results.write_epoch(cfg.epochs, {}, val_metrics, val_losses, 0.0)
-        checkpoint.save_checkpoint(weights / "best.ckpt", fold_state)
-        checkpoint.save_checkpoint(weights / "last.ckpt", fold_state)
-        fit = fitness(val_metrics)
-        summary[f"fold{f + 1}"] = {
-            "fitness": fit,
-            "map50_m": val_metrics.get("map50_m", 0.0),
-        }
-        logger.info(f"✅ Fold {f + 1}: mAP50(M)={val_metrics.get('map50_m', 0):.3f}")
+        summary[f"fold{f + 1}"] = {"fitness": max(best_fits[f], 0.0)}
+        logger.info(f"✅ Fold {f + 1}: fitness={max(best_fits[f], 0.0):.3f}")
     return summary

@@ -26,11 +26,35 @@ from tpu_mslesseg.train.losses import LossConfig, segmentation_loss
 from tpu_mslesseg.train.trainer import TrainConfig, TrainState
 
 
-def build_fold_index_pools(meta, k_folds: int, calcular_fold_fn):
+def plan_fold_mesh(n_devices: int, k_folds: int):
+    """Factorize devices into a (fold, data) mesh that never degenerates.
+
+    Returns (fold_par, k_pad): fold-axis size and the padded fold count
+    (a multiple of fold_par; folds beyond k_folds are dummies whose
+    results are discarded). The fold axis is the smallest divisor of
+    n_devices that covers every real fold; leftover devices become the
+    data axis and shard each fold's batch. Examples:
+      8 dev x 5 folds -> fold=8 (pad to 8), data=1  (was gcd=1: 7 idle)
+      8 dev x 4 folds -> fold=4, data=2
+      4 dev x 5 folds -> fold=4 (pad to 8, 2 per device), data=1
+      2 dev x 5 folds -> fold=2 (pad to 6, 3 per device), data=1
+    """
+    divisors = [d for d in range(1, n_devices + 1) if n_devices % d == 0]
+    covering = [d for d in divisors if d >= k_folds]
+    fold_par = min(covering) if covering else n_devices
+    k_pad = -(-k_folds // fold_par) * fold_par
+    return fold_par, k_pad
+
+
+def build_fold_index_pools(meta, k_folds: int, calcular_fold_fn,
+                           k_pad: int | None = None):
     """Per-fold pools of slice indices into the shared dataset.
 
     meta: list of (patient_id, modality, slice_idx) per dataset row.
+    k_pad: total fold rows to emit (>= k_folds); rows beyond k_folds are
+    dummy copies of fold 0's pool (mesh padding — trained but discarded).
     Returns (pools [F, M] int32 padded by repetition, counts [F])."""
+    k_pad = k_pad or k_folds
     per_fold = [[] for _ in range(k_folds)]
     for i, (pid, _, _) in enumerate(meta):
         f = calcular_fold_fn(pid, k_folds) - 1
@@ -38,14 +62,17 @@ def build_fold_index_pools(meta, k_folds: int, calcular_fold_fn):
             if g != f:  # fold g trains on patients NOT in fold g
                 per_fold[g].append(i)
     m = max(len(p) for p in per_fold)
-    pools = np.zeros((k_folds, m), np.int32)
-    counts = np.zeros((k_folds,), np.int32)
+    pools = np.zeros((k_pad, m), np.int32)
+    counts = np.zeros((k_pad,), np.int32)
     for f, p in enumerate(per_fold):
         if not p:
             raise ValueError(f"Fold {f + 1} sin cortes de entrenamiento.")
         reps = -(-m // len(p))
         pools[f] = np.tile(np.asarray(p, np.int32), reps)[:m]
         counts[f] = len(p)
+    for f in range(k_folds, k_pad):
+        pools[f] = pools[0]
+        counts[f] = counts[0]
     return jnp.asarray(pools), jnp.asarray(counts)
 
 
@@ -71,14 +98,31 @@ def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
     co-located on a device run sequentially (`lax.map`), folds on
     different devices run concurrently. (A plain vmap over parameters
     can't batch grouped-conv kernels, so SPMD-over-folds is also the only
-    XLA-clean formulation.)"""
-    single_step = trainer.make_train_step(model, cfg, steps_per_epoch)
+    XLA-clean formulation.) When the mesh also has a 'data' axis (>1),
+    each fold's batch further shards over it: every data-shard augments
+    and differentiates its slice of the batch and the grads/batch-stats
+    pmean over 'data'."""
+    n_data = int(mesh.shape[meshlib.DATA_AXIS]) if mesh is not None else 1
+    axis = meshlib.DATA_AXIS if n_data > 1 else None
+    single_step = trainer.make_train_step_fn(
+        model, cfg, steps_per_epoch, axis_name=axis
+    )
+    if n_data > 1 and cfg.batch_size % n_data:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} no divisible por el eje data={n_data}"
+        )
 
     def one_fold(state, key, pool, count, dataset):
         k_idx, k_aug = jax.random.split(key)
         # sample batch_size mosaics x 4 sources from this fold's pool
         draws = jax.random.randint(k_idx, (cfg.batch_size, 4), 0, count)
         idx = pool[draws]
+        if axis is not None:
+            # this data-shard augments/differentiates its batch slice only
+            d = jax.lax.axis_index(axis)
+            local = cfg.batch_size // n_data
+            idx = jax.lax.dynamic_slice_in_dim(idx, d * local, local, 0)
+            k_aug = jax.random.fold_in(k_aug, d)
         batch = augment.make_batch(k_aug, dataset, idx, acfg)
         return single_step(state, batch)
 

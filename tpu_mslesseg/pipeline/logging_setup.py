@@ -72,9 +72,15 @@ def configure_logging(level=logging.INFO, log_file="pipeline.log"):
     root.addHandler(ch)
 
     if log_file is not None:
-        fh = logging.FileHandler(log_file, mode="w", encoding="utf-8")
-        fh.setFormatter(NoColorFormatter("%(message)s"))
-        root.addHandler(fh)
+        # multi-host: the log file belongs to process 0. Querying jax here
+        # would force backend init before jax.distributed.initialize, so
+        # the process id comes from the launcher env (absent = main).
+        import os
+
+        if os.environ.get("TPU_MSLESSEG_PROC_ID", "0") in ("", "0"):
+            fh = logging.FileHandler(log_file, mode="w", encoding="utf-8")
+            fh.setFormatter(NoColorFormatter("%(message)s"))
+            root.addHandler(fh)
     return root
 
 

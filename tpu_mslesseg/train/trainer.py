@@ -52,6 +52,11 @@ class TrainConfig:
     imgsz: int = 640
     seed: int = 0
     max_fg: int = 64
+    # AMP parity with the reference (args.yaml:8 amp: true): bf16 compute
+    # dtype in the model, f32 master params / optimizer / BN stats / losses.
+    # Consumed at model-creation time (stages/train.py); the train step
+    # itself is dtype-agnostic.
+    amp: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -190,9 +195,16 @@ class ResultsWriter:
     of the shipped training runs)."""
 
     def __init__(self, path, append: bool = False, from_epoch: int | None = None):
+        from tpu_mslesseg.core import distributed
+
         self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
         self.t0 = time.time()
+        # multi-host SPMD: every process runs the train loop; only process
+        # 0 owns the results.csv artifact
+        self.enabled = distributed.is_main_process()
+        if not self.enabled:
+            return
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         if append and self.path.exists():
             # resume: keep rows before the resume point (the checkpoint is
             # saved every 10 epochs, so later rows would otherwise appear
@@ -215,6 +227,8 @@ class ResultsWriter:
             csv.writer(f).writerow(RESULTS_HEADER)
 
     def write_epoch(self, epoch, train_losses, val_metrics, val_losses, lr):
+        if not self.enabled:
+            return
         row = [
             epoch,
             round(time.time() - self.t0, 4),

@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--paciente_eval", default="P39")
     parser.add_argument("--mejora", default="GC")
     parser.add_argument("--dataset", default="MSLesSeg-Dataset/train")
+    parser.add_argument(
+        "--no_amp", action="store_true",
+        help="f32 puro (por defecto bf16 mixto, como el entrenamiento real).",
+    )
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     import jax
@@ -48,9 +52,12 @@ def main(argv=None):
         pacientes, "axial", ["FLAIR"], args.mejora, 50, args.dataset
     )
     cfg = trainer.TrainConfig(
-        epochs=args.epochs, batch_size=args.batch, close_mosaic=10, max_fg=48
+        epochs=args.epochs, batch_size=args.batch, close_mosaic=10, max_fg=48,
+        amp=not args.no_amp,
     )
-    model, _ = create_model(nc=1, scale="n")
+    dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    logger.info(f"🎛️ Precisión de cómputo: {'bf16 (AMP)' if cfg.amp else 'f32'}.")
+    model, _ = create_model(nc=1, scale="n", dtype=dtype)
     steps = max(len(train_set) // cfg.batch_size, 1)
     state = trainer.init_train_state(model, cfg, steps)
     step_fn = trainer.make_train_step(model, cfg, steps)
@@ -59,21 +66,34 @@ def main(argv=None):
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
 
+    import time
+
+    n_steps, t_steps = 0, 0.0
     for epoch in range(1, cfg.epochs + 1):
         mosaic = epoch <= cfg.epochs - cfg.close_mosaic
         key, ke = jax.random.split(key)
         idx = tdata.epoch_indices(ke, len(train_set), cfg.batch_size, mosaic)
         ms = []
+        t0 = time.time() if epoch > 2 else None  # skip compile epochs
         for s in range(idx.shape[0]):
             key, ka = jax.random.split(key)
             batch = augment.make_batch(ka, dd, idx[s], acfg_m if mosaic else acfg_p)
             state, m = step_fn(state, batch)
             ms.append(m)
+        if t0 is not None:
+            jax.block_until_ready(ms[-1]["loss"])
+            t_steps += time.time() - t0
+            n_steps += idx.shape[0]
         if epoch % 20 == 0 or epoch == cfg.epochs:
             fetched = jax.device_get(ms)
             line = {k: float(np.mean([mm[k] for mm in fetched]))
                     for k in ("box", "seg", "cls", "dfl")}
             logger.info(f"🏋️ Epoch {epoch}/{cfg.epochs}: {line}")
+    if n_steps:
+        logger.info(
+            f"⏱️ Paso de entrenamiento: {1000 * t_steps / n_steps:.1f} ms "
+            f"(batch {cfg.batch_size}, {'bf16' if cfg.amp else 'f32'})."
+        )
 
     out = Path("trains_capacidad") / args.mejora / "weights"
     checkpoint.save_checkpoint(out / "best.ckpt", state)

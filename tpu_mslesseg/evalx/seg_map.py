@@ -77,25 +77,36 @@ def match_image(iou, pred_scores, pred_valid, gt_valid):
 
 
 def average_precision(scores, tps, n_gt: int):
-    """101-point interpolated AP per IoU threshold.
+    """Ultralytics-exact 101-point AP per IoU threshold.
 
     scores [N] (all preds across val set), tps [N,10] bool, n_gt total GT.
     Returns ap [10].
+
+    Semantics match the evaluator that produced the reference's
+    results.csv anchors (Ultralytics ``compute_ap``), NOT pycocotools:
+    sentinel points (0,1) and (1,0) bracket the PR curve, the precision
+    envelope is taken, and AP is the *trapezoidal integral* of the
+    101-point linear interpolation. Two observable consequences pinned by
+    tests/test_seg_map_goldens.py: a perfect detector scores 0.995 (the
+    final (1,0) sentinel clips the last trapezoid), and precision ramps
+    linearly from the curve's max recall down to (1,0) instead of
+    dropping stepwise.
     """
     if n_gt == 0 or len(scores) == 0:
         return np.zeros(10)
     order = np.argsort(-scores)
     tps = tps[order]
+    x = np.linspace(0, 1, 101)
     aps = np.zeros(10)
     for t in range(10):
         tp_cum = np.cumsum(tps[:, t])
         fp_cum = np.cumsum(~tps[:, t])
-        recall = tp_cum / n_gt
-        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-        # precision envelope, 101-point interp
-        r_interp = np.linspace(0, 1, 101)
-        p_env = np.flip(np.maximum.accumulate(np.flip(precision)))
-        aps[t] = np.interp(r_interp, recall, p_env, left=p_env[0] if len(p_env) else 0, right=0).mean()
+        recall = tp_cum / (n_gt + 1e-16)
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-16)
+        mrec = np.concatenate(([0.0], recall, [1.0]))
+        mpre = np.concatenate(([1.0], precision, [0.0]))
+        mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+        aps[t] = np.trapezoid(np.interp(x, mrec, mpre), x)
     return aps
 
 

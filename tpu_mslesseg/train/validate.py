@@ -6,9 +6,13 @@ losses, NMS'd detections and per-image COCO match bits; the host only
 accumulates AP tables (evalx/seg_map.py).
 
 Mask IoU is computed at proto resolution (160x160 for 640 input) — the
-mask logits' native grid; matching at this scale is within noise of
-full-resolution IoU for lesion-sized objects and keeps the val pass fully
-fused.
+mask logits' native grid. This is evaluator PARITY, not an
+approximation: Ultralytics' SegmentationValidator also matches masks at
+the proto grid (GT downsampled, ops.process_mask without upsample), so
+the reference's results.csv anchors carry the same quantization. The
+absolute fidelity cost is measured on real demo lesions in
+tests/test_seg_map_goldens.py::test_proto_res_mask_iou_error_bound
+(mean IoU error ~0.05 under a worst-case 1-voxel perturbation).
 """
 
 from __future__ import annotations

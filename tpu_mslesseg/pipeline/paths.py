@@ -366,7 +366,62 @@ class ConfigEval(ConfigBase):
         ]
 
     def verificar_paths(self):
-        self.results_fold_dir.mkdir(parents=True, exist_ok=True)
+        """Mode-dependent precondition checks (reference
+        ``ConfigEval.py:401-424``): patient mode verifies that patient's
+        GT + predicted volume; fold mode verifies them for every patient
+        of the fold; experiment mode (fold_test None, no paciente)
+        requires all k fold JSONs before averaging — each raising the
+        same early FileNotFoundError the reference does."""
+        if self.paciente is not None:
+            p = self.paths_paciente(self.paciente.id)
+            if not p["gt_vol"].exists():
+                raise FileNotFoundError(
+                    f"No existe la GT del paciente {self.paciente.id}: "
+                    f"{p['gt_vol']}."
+                )
+            if not p["pred_vol"].exists():
+                raise FileNotFoundError(
+                    f"No existe la predicción del paciente "
+                    f"{self.paciente.id}: {p['pred_vol']}."
+                )
+            p["results_json"].parent.mkdir(parents=True, exist_ok=True)
+        elif self.fold_test is not None:
+            # a fold dir may legitimately not exist yet (warn-and-skip
+            # contract downstream); patients that ARE present must have
+            # consistent GT + prediction volumes, raised early like the
+            # reference's per-patient loop
+            if self.pred_vols_fold_dir.exists():
+                for pac_dir in sorted(self.pred_vols_fold_dir.iterdir()):
+                    if not pac_dir.is_dir():
+                        continue
+                    p = self.paths_paciente(pac_dir.name)
+                    if not p["gt_vol"].exists():
+                        raise FileNotFoundError(
+                            f"No existe el volumen ground truth del paciente "
+                            f"{pac_dir.name}: {p['gt_vol']}."
+                        )
+                    if not p["pred_vol"].exists():
+                        raise FileNotFoundError(
+                            f"No existe la predicción del paciente "
+                            f"{pac_dir.name}: {p['pred_vol']}."
+                        )
+                    p["results_json"].parent.mkdir(parents=True, exist_ok=True)
+            self.results_fold_dir.mkdir(parents=True, exist_ok=True)
+        else:
+            self.verificar_paths_experimento()
+
+    def verificar_paths_experimento(self):
+        """Experiment-mode precondition: every fold's results JSON must
+        exist before averaging (reference ``ConfigEval.py:370-399``)."""
+        faltantes = [
+            f"fold{k}" for k, j in enumerate(self.fold_jsons(), start=1)
+            if not j.exists()
+        ]
+        if faltantes:
+            raise FileNotFoundError(
+                f"❌ No existen los JSON de resultados para los "
+                f"siguientes folds: {faltantes}"
+            )
 
     def limpiar_resultados(self):
         if not self.results_fold_dir.exists():

@@ -62,6 +62,9 @@ def ejecutar_flujo_promediar(config: ConfigEval, verbose=False):
     if verbose:
         logger.header(f"\n🧮 Promediando folds ({config.plano}).")
     try:
+        # early precondition (reference ConfigEval.py:370-399): all k fold
+        # JSONs must exist before averaging
+        config.verificar_paths_experimento()
         res = procesar_resultados(config)
     except FileNotFoundError as e:
         # incomplete experiment: aggregate later, don't abort the pipeline

@@ -115,14 +115,19 @@ def main():
 
     total_slices = n_per_plane * len(planes)
 
+    # NOTE the explicit device_get inside the timed region: on the axon
+    # tunnel `block_until_ready` returns at dispatch, not completion, so
+    # only a host fetch of the final metrics gives an honest end-to-end
+    # time. (r1's recorded 573.5 slices/s predates this fix and measured
+    # dispatch+queue, not compute.)
     run_once = build_runner()
     t0 = time.time()
-    run_once()
+    jax.device_get(run_once())
     compile_s = time.time() - t0
     times = []
     for _ in range(3):  # steady state: best of 3
         t0 = time.time()
-        run_once()
+        jax.device_get(run_once())
         times.append(time.time() - t0)
     sps = total_slices / min(times)
 
@@ -134,9 +139,9 @@ def main():
         run_cpu = build_runner(
             jax.local_devices(backend="cpu")[0], only_planes=("axial",)
         )
-        run_cpu()
+        jax.device_get(run_cpu())
         t0 = time.time()
-        run_cpu()
+        jax.device_get(run_cpu())
         cpu_sps = n_per_plane / (time.time() - t0)
     except Exception:
         pass  # CPU backend unavailable: report the estimate only

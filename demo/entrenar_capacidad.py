@@ -81,7 +81,9 @@ def main(argv=None):
             state, m = step_fn(state, batch)
             ms.append(m)
         if t0 is not None:
-            jax.block_until_ready(ms[-1]["loss"])
+            # axon tunnel: block_until_ready returns at dispatch; only a
+            # host fetch gives an honest wall time
+            float(ms[-1]["loss"])
             t_steps += time.time() - t0
             n_steps += idx.shape[0]
         if epoch % 20 == 0 or epoch == cfg.epochs:

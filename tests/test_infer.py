@@ -162,3 +162,61 @@ def test_auc_single_class_nan():
     gt = np.zeros((4, 4, 4))
     pred = np.ones((4, 4, 4))
     assert np.isnan(metrics.compute_metrics(gt, pred)["AUC"])
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The MXU fixpoint NMS must reproduce textbook sequential greedy
+    suppression exactly — randomized property test against an independent
+    numpy implementation, including chain cases (a suppresses b, b would
+    have suppressed c, so c survives)."""
+    import numpy as np
+
+    def greedy_np(boxes, scores, conf, iou_t):
+        order = np.argsort(-scores, kind="stable")
+        keep = np.zeros(len(scores), bool)
+        for i in order:
+            if scores[i] <= conf:
+                continue
+            ok = True
+            for j in order:
+                if j == i or not keep[j] or scores[j] < scores[i]:
+                    continue
+                # IoU
+                x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
+                x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                a_j = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / max(a_i + a_j - inter, 1e-7) > iou_t:
+                    ok = False
+                    break
+            keep[i] = ok
+        return keep
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = 64
+        xy = rng.uniform(0, 80, (n, 2))
+        wh = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        _, top_scores, keep, idx = nms_single(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.25, 0.5, n
+        )
+        ref = greedy_np(boxes, scores, 0.25, 0.5)
+        got = np.zeros(n, bool)
+        got[np.asarray(idx)[np.asarray(keep)]] = True
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
+
+
+def test_nms_explicit_chain_revival():
+    # a suppresses b; b (suppressed) must NOT suppress c
+    boxes = jnp.asarray([
+        [0.0, 0.0, 10.0, 10.0],   # a (score .9)
+        [0.0, 0.0, 10.0, 8.0],    # b overlaps a heavily (score .8)
+        [0.0, 6.0, 10.0, 14.0],   # c overlaps b but not a enough (score .7)
+    ])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    _, _, keep, idx = nms_single(boxes, scores, 0.25, 0.5, 3)
+    kept = set(np.asarray(idx)[np.asarray(keep)].tolist())
+    assert kept == {0, 2}

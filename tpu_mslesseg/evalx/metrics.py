@@ -22,13 +22,17 @@ import numpy as np
 
 @jax.jit
 def _confusion_counts(y_true, y_pred):
+    """Stacked [tp, fp, fn, tn] — ONE array so callers pay a single host
+    fetch (on the tunneled TPU every fetch is a ~30ms round trip; four
+    separate float() conversions used to cost more than the entire fused
+    predictor)."""
     t = (y_true > 0).astype(jnp.float32).ravel()
     p = (y_pred > 0).astype(jnp.float32).ravel()
     tp = jnp.sum(t * p)
     fp = jnp.sum((1 - t) * p)
     fn = jnp.sum(t * (1 - p))
     tn = jnp.sum((1 - t) * (1 - p))
-    return tp, fp, fn, tn
+    return jnp.stack([tp, fp, fn, tn])
 
 
 def _round3(x: float) -> float:
@@ -40,7 +44,7 @@ def compute_metrics(y_true, y_pred) -> dict:
 
     Returns {"DSC", "AUC", "Precision", "Recall"} floats (AUC may be NaN).
     """
-    tp, fp, fn, tn = (float(v) for v in _confusion_counts(y_true, y_pred))
+    tp, fp, fn, tn = np.asarray(_confusion_counts(y_true, y_pred), np.float64)
 
     dsc = (2.0 * tp) / (2 * tp + fp + fn + 1e-8)
     prec = tp / (tp + fp + 1e-8)
@@ -64,17 +68,17 @@ def compute_metrics(y_true, y_pred) -> dict:
 
 
 def DSC(y_true, y_pred) -> float:
-    tp, fp, fn, _ = (float(v) for v in _confusion_counts(y_true, y_pred))
+    tp, fp, fn, _ = np.asarray(_confusion_counts(y_true, y_pred), np.float64)
     return _round3((2.0 * tp) / (2 * tp + fp + fn + 1e-8))
 
 
 def precision(y_true, y_pred) -> float:
-    tp, fp, _, _ = (float(v) for v in _confusion_counts(y_true, y_pred))
+    tp, fp, _, _ = np.asarray(_confusion_counts(y_true, y_pred), np.float64)
     return _round3(tp / (tp + fp + 1e-8))
 
 
 def recall(y_true, y_pred) -> float:
-    tp, _, fn, _ = (float(v) for v in _confusion_counts(y_true, y_pred))
+    tp, _, fn, _ = np.asarray(_confusion_counts(y_true, y_pred), np.float64)
     return _round3(tp / (tp + fn + 1e-8))
 
 

@@ -43,18 +43,37 @@ def load_patient_volume():
     return vol, mask
 
 
+def prepare_plane_work(vol, gt, n_per_plane: int):
+    """Lesion-centered slice indices + extracted raw slices per plane
+    (host, one-time pre-stage)."""
+    from tpu_mslesseg.core import geometry
+
+    work = {}
+    for plane in ("axial", "coronal", "sagital"):
+        axis = geometry.plane_axis(plane)
+        other = tuple(i for i in range(3) if i != axis)
+        has = np.nonzero(np.any(gt > 0, axis=other))[0]
+        centro = len(has) // 2
+        lo = max(0, centro - n_per_plane // 2)
+        idx = has[lo : lo + n_per_plane]
+        if len(idx) < n_per_plane:  # pad with neighbors for a fixed batch
+            extra = np.setdiff1d(np.arange(gt.shape[axis]), idx)[: n_per_plane - len(idx)]
+            idx = np.concatenate([idx, extra])
+        slices = np.asarray(
+            geometry.extract_slices(vol.astype(np.float32), plane, idx)
+        )
+        work[plane] = (idx, slices)
+    return work
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
-    from tpu_mslesseg.core import geometry
-    from tpu_mslesseg.evalx import metrics as mx
-    from tpu_mslesseg.infer.predictor import SlicePredictor
-    from tpu_mslesseg.infer.reconstruct import consensus_vote, reconstruct_volume
+    from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model
-    from tpu_mslesseg.preproc import enhance
 
     vol, gt = load_patient_volume()
     # bf16 activations: the parity target itself runs fp16 AMP inference
@@ -64,60 +83,31 @@ def main():
     )
 
     n_per_plane = 50  # canonical P50 config
-    planes = ("axial", "coronal", "sagital")
 
-    # pre-stage: slice indices centered on the lesion (host, one-time)
-    work = {}
-    for plane in planes:
-        axis = geometry.plane_axis(plane)
-        other = tuple(i for i in range(3) if i != axis)
-        has = np.nonzero(np.any(gt > 0, axis=other))[0]
-        centro = len(has) // 2
-        idx = has[max(0, centro - 25) : max(0, centro - 25) + n_per_plane]
-        if len(idx) < n_per_plane:  # pad with neighbors for a fixed batch
-            extra = np.setdiff1d(np.arange(gt.shape[axis]), idx)[: n_per_plane - len(idx)]
-            idx = np.concatenate([idx, extra])
-        slices = np.asarray(
-            geometry.extract_slices(vol.astype(np.float32), plane, idx)
-        )
-        hw = slices.shape[1:]
-        work[plane] = (idx, slices, hw)
-
-    def build_runner(device=None, only_planes=planes):
-        """Pipeline closure with all arrays committed to `device` (None =
-        default backend). jit specializes per input placement, so the same
-        code measures the TPU chip and the XLA-CPU floor."""
+    def build_runner(device=None, n=n_per_plane):
+        """The fused single-program 3-plane pipeline (enhance -> batched
+        forward -> NMS -> masks -> 3 volume scatters -> consensus ->
+        confusion counts) with all arrays committed to `device` (None =
+        default backend). One dispatch + one 4-scalar fetch per run."""
         place = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
         variables_d = jax.tree_util.tree_map(place, variables)
-        predictors = {
-            plane: SlicePredictor(model, variables_d, slice_hw=work[plane][2])
-            for plane in only_planes
-        }
+        work = prepare_plane_work(vol, gt, n)
+        slices_dev = {p: place(w[1]) for p, w in work.items()}
+        idx_dev = {p: place(np.asarray(w[0], np.int32)) for p, w in work.items()}
         gt_dev = place(np.asarray(gt, np.float32))
-        slices_dev = {p: place(work[p][1]) for p in only_planes}
+        cp = ConsensusPredictor(model, variables_d, gt.shape, mejora="GC")
 
         def run_once():
-            # fully on-device: the only host transfer is the final 4 scalars
-            vols = {}
-            for plane in only_planes:
-                idx, _, hw = work[plane]
-                imgs = enhance.enhance_for_model(slices_dev[plane], "GC")
-                masks = predictors[plane](imgs)
-                vols[plane] = reconstruct_volume(gt.shape, masks, plane, idx)
-            first = vols[only_planes[0]]
-            cons = consensus_vote(
-                *(vols.get(p, first) for p in planes), 2
-            )
-            m = mx.compute_metrics(gt_dev, cons)
-            return m
+            counts, _, _ = cp(slices_dev, idx_dev, gt_dev)
+            return counts  # fetching these 4 scalars syncs the program
 
         return run_once
 
-    total_slices = n_per_plane * len(planes)
+    total_slices = n_per_plane * 3
 
     # NOTE the explicit device_get inside the timed region: on the axon
     # tunnel `block_until_ready` returns at dispatch, not completion, so
-    # only a host fetch of the final metrics gives an honest end-to-end
+    # only a host fetch of the final counts gives an honest end-to-end
     # time. (r1's recorded 573.5 slices/s predates this fix and measured
     # dispatch+queue, not compute.)
     run_once = build_runner()
@@ -131,18 +121,17 @@ def main():
         times.append(time.time() - t0)
     sps = total_slices / min(times)
 
-    # measured CPU floor in the same process (warmup + 1 timed run); one
-    # plane only — per-slice throughput is plane-independent and the CPU
-    # path runs minutes otherwise
+    # measured CPU floor in the same process: the SAME fused program on
+    # the XLA-CPU backend, 5 slices/plane (per-slice throughput is
+    # n-independent for the conv-dominated path; 50/plane runs minutes)
     cpu_sps = None
     try:
-        run_cpu = build_runner(
-            jax.local_devices(backend="cpu")[0], only_planes=("axial",)
-        )
+        n_cpu = 5
+        run_cpu = build_runner(jax.local_devices(backend="cpu")[0], n=n_cpu)
         jax.device_get(run_cpu())
         t0 = time.time()
         jax.device_get(run_cpu())
-        cpu_sps = n_per_plane / (time.time() - t0)
+        cpu_sps = 3 * n_cpu / (time.time() - t0)
     except Exception:
         pass  # CPU backend unavailable: report the estimate only
 

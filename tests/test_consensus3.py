@@ -1,0 +1,75 @@
+"""Fused 3-plane consensus program == the per-stage chain, in one jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mslesseg.core import geometry
+from tpu_mslesseg.evalx import metrics as mx
+from tpu_mslesseg.infer.consensus3 import PLANES, ConsensusPredictor
+from tpu_mslesseg.infer.predictor import SlicePredictor
+from tpu_mslesseg.infer.reconstruct import consensus_vote, reconstruct_volume
+from tpu_mslesseg.model.yolo11 import create_model
+from tpu_mslesseg.preproc import enhance
+
+IMGSZ = 64
+VOL_SHAPE = (24, 28, 24)
+N = 3
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    vol = rng.normal(500, 150, VOL_SHAPE).astype(np.float32)
+    gt = np.zeros(VOL_SHAPE, np.float32)
+    gt[8:14, 10:18, 9:15] = 1
+    model, _ = create_model(nc=1, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMGSZ, IMGSZ, 3)), train=False
+    )
+    slices, idx = {}, {}
+    for p in PLANES:
+        ax = geometry.plane_axis(p)
+        ids = np.arange(5, 5 + N)
+        idx[p] = jnp.asarray(ids)
+        slices[p] = jnp.asarray(geometry.extract_slices(vol, p, ids))
+    return model, variables, slices, idx, jnp.asarray(gt)
+
+
+def test_fused_matches_stage_chain():
+    model, variables, slices, idx, gt = _setup()
+
+    cp = ConsensusPredictor(
+        model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ, umbral=2
+    )
+    counts, cons, vols = cp(slices, idx, gt)
+
+    ref_vols = {}
+    for p in PLANES:
+        hw = geometry.slice_shape(VOL_SHAPE, p)
+        pred = SlicePredictor(model, variables, slice_hw=hw, imgsz=IMGSZ)
+        imgs = enhance.enhance_for_model(slices[p], "GC")
+        masks = pred(imgs)
+        ref_vols[p] = reconstruct_volume(VOL_SHAPE, masks, p, idx[p])
+        np.testing.assert_array_equal(np.asarray(vols[p]), np.asarray(ref_vols[p]))
+
+    ref_cons = consensus_vote(
+        ref_vols["axial"], ref_vols["coronal"], ref_vols["sagital"], 2
+    )
+    np.testing.assert_array_equal(np.asarray(cons), np.asarray(ref_cons))
+
+    got = ConsensusPredictor.metrics_from_counts(counts)
+    want = mx.compute_metrics(gt, ref_cons)
+    for k in ("DSC", "Precision", "Recall"):
+        assert got[k] == want[k]
+
+
+def test_fused_is_one_program_and_scatters_all_planes():
+    model, variables, slices, idx, gt = _setup()
+    cp = ConsensusPredictor(model, variables, VOL_SHAPE, mejora=None, imgsz=IMGSZ)
+    counts, cons, vols = cp(slices, idx, gt)
+    # slices outside the predicted window stay zero in every plane volume
+    for p in PLANES:
+        ax = geometry.plane_axis(p)
+        untouched = np.delete(np.asarray(vols[p]), np.asarray(idx[p]), axis=ax)
+        assert (untouched == 0).all()
+    assert np.asarray(counts).shape == (4,)

@@ -110,12 +110,12 @@ def test_average_precision_direct_known_curve():
 
 def test_match_image_greedy_claims_each_gt_once():
     # two preds both overlapping the same single GT: only the
-    # higher-scored one may claim it
+    # higher-IoU one may claim it (Ultralytics IoU-ordered matching)
     gt = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
     preds = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 9.0]])
     iou = seg_map.box_iou_pairs(preds, gt)
     tp = np.asarray(seg_map.match_image(
-        iou, jnp.asarray([0.9, 0.8]), jnp.ones(2, bool), jnp.ones(1, bool)
+        iou, jnp.ones(2, bool), jnp.ones(1, bool)
     ))
     assert tp[0, 0] and not tp[1, 0]
 

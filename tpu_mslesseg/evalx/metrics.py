@@ -44,7 +44,14 @@ def compute_metrics(y_true, y_pred) -> dict:
 
     Returns {"DSC", "AUC", "Precision", "Recall"} floats (AUC may be NaN).
     """
-    tp, fp, fn, tn = np.asarray(_confusion_counts(y_true, y_pred), np.float64)
+    return metrics_from_counts(_confusion_counts(y_true, y_pred))
+
+
+def metrics_from_counts(counts) -> dict:
+    """Host-side finish: [tp, fp, fn, tn] (device or host array) -> the
+    reference metrics dict. Split from `compute_metrics` so fused programs
+    can return the counts and defer the single host fetch to the caller."""
+    tp, fp, fn, tn = np.asarray(counts, np.float64)
 
     dsc = (2.0 * tp) / (2 * tp + fp + fn + 1e-8)
     prec = tp / (tp + fp + 1e-8)

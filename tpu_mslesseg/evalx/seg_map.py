@@ -2,8 +2,9 @@
 
 Replaces the Ultralytics validator the reference relies on for per-epoch
 val metrics and best-checkpoint fitness (``results.csv`` columns
-``metrics/mAP50(B/M)`` etc.). COCO-style: greedy score-ordered matching at
-IoU thresholds 0.50:0.05:0.95, 101-point interpolated AP.
+``metrics/mAP50(B/M)`` etc.). Ultralytics-exact: IoU-descending unique
+matching per threshold 0.50:0.05:0.95 (see ``match_image``), 101-point
+trapezoidal AP with sentinel endpoints (see ``average_precision``).
 
 Per-image matching runs on device with fixed shapes (padded preds x padded
 GT); only the tiny (score, tp-bits) table crosses to host, where AP is
@@ -11,8 +12,6 @@ accumulated over the val set.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,37 +42,46 @@ def mask_iou_pairs(pred_masks, gt_masks, eps=1e-7):
     return inter / jnp.maximum(union, eps)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def match_image(iou, pred_scores, pred_valid, gt_valid):
-    """Greedy COCO matching for one image.
+@jax.jit
+def match_image(iou, pred_valid, gt_valid):
+    """Ultralytics-exact per-image TP matching. iou [K,I] -> tp [K,10].
 
-    iou [K,I]; pred_scores [K] (assumed sorted desc by caller or not — the
-    loop walks in score order via argsort); returns tp [K,10] bool.
+    Replicates ``BaseValidator.match_predictions`` (ultralytics 8.3.x, the
+    evaluator behind the reference's results.csv anchors) rather than
+    pycocotools' score-ordered greedy loop. Per IoU threshold, over the
+    candidate pairs with iou >= thr, Ultralytics:
+
+      1. sorts pairs by IoU descending and keeps each *pred*'s first
+         occurrence (``np.unique(matches[:,1], return_index=True)``) —
+         i.e. each pred keeps its highest-IoU GT; np.unique re-orders the
+         surviving rows by ascending pred index;
+      2. keeps each *GT*'s first occurrence in that pred-ascending order —
+         i.e. each GT goes to the SMALLEST pred index still pointing at it
+         (NOT the highest IoU — the IoU re-sort between the two uniques is
+         commented out upstream).
+
+    Exact-float IoU ties in step 1 resolve to the larger GT index (stable
+    ascending argsort reversed), reproduced here by the reversed argmax.
+    Scores never enter the matching (they only order the AP sweep), which
+    is the observable difference from COCO score-order matching: a
+    lower-scored pred with higher IoU wins the GT.
     """
     K, I = iou.shape
     threshes = jnp.asarray(IOU_THRESHES, jnp.float32)
-    order = jnp.argsort(-pred_scores)
+    cand = jnp.where(pred_valid[:, None] & gt_valid[None, :], iou, 0.0)
+    c = jnp.where(cand[None] >= threshes[:, None, None], cand[None], 0.0)
 
-    iou_masked = jnp.where(gt_valid[None, :], iou, 0.0)
+    # step 1: per-pred best GT (ties -> larger GT index)
+    bestg = (I - 1) - jnp.argmax(c[:, :, ::-1], axis=2)  # [10,K]
+    pair_iou = jnp.take_along_axis(c, bestg[..., None], axis=2)[..., 0]
+    pairs = (pair_iou > 0.0)[..., None] & jax.nn.one_hot(bestg, I, dtype=bool)
 
-    def body(j, carry):
-        claimed, tp = carry  # claimed [10, I], tp [K, 10]
-        k = order[j]
-        row = iou_masked[k]  # [I]
-        avail = jnp.where(claimed, 0.0, row[None, :])  # [10, I]
-        best_iou = avail.max(axis=1)  # [10]
-        best_gt = avail.argmax(axis=1)
-        ok = (best_iou >= threshes) & pred_valid[k]
-        claimed = jnp.where(
-            ok[:, None] & (jax.nn.one_hot(best_gt, I, dtype=bool)), True, claimed
-        )
-        tp = tp.at[k].set(ok)
-        return claimed, tp
-
-    claimed0 = jnp.zeros((10, I), bool)
-    tp0 = jnp.zeros((K, 10), bool)
-    _, tp = jax.lax.fori_loop(0, K, body, (claimed0, tp0))
-    return tp
+    # step 2: per-GT first pred in ascending-pred order (argmax of bool
+    # picks the smallest True index)
+    bestk = jnp.argmax(pairs, axis=1)  # [10,I]
+    gt_has = jnp.any(pairs, axis=1)
+    sel = gt_has[..., None] & jax.nn.one_hot(bestk, K, dtype=bool)  # [10,I,K]
+    return jnp.any(sel, axis=1).T  # [K,10]
 
 
 def average_precision(scores, tps, n_gt: int):

@@ -1,0 +1,137 @@
+"""Fused 3-plane consensus inference: the whole patient in ONE program.
+
+The reference runs the axial/coronal/sagital experiments as three separate
+pipeline invocations and fuses them on host afterwards
+(``generar_consenso.py:106-117`` over volumes rebuilt by
+``reconstruir_volumen.py:179-219``). The per-plane stages here already
+batch each step, but a multi-stage chain still pays one dispatch per
+jitted call — and on a tunneled TPU each dispatch costs a host round trip
+comparable to the compute itself.
+
+This module compiles the *entire* consensus path into a single XLA
+program:
+
+    raw volume slices (3 planes)
+      -> enhancement + per-slice PNG stretch
+      -> per-plane letterbox -> ONE concatenated [sum(N), 640, 640, 3]
+         YOLO11-seg forward (3x the batch = better MXU utilization than
+         three per-plane forwards)
+      -> DFL decode + padded NMS + proto-mask union
+      -> per-plane inverse-letterbox sampling -> volume scatter
+      -> majority vote -> confusion counts
+
+One dispatch, one host fetch (the 4 confusion scalars; volumes stay on
+device unless the caller fetches them).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_mslesseg.core import geometry
+from tpu_mslesseg.evalx import metrics as mx
+from tpu_mslesseg.infer import decode as dec
+from tpu_mslesseg.infer.nms import nms_batch
+from tpu_mslesseg.infer.predictor import _bilinear_sample, _mask_union_logits
+from tpu_mslesseg.infer.reconstruct import consensus_vote
+from tpu_mslesseg.preproc import enhance
+
+PLANES = ("axial", "coronal", "sagital")
+
+
+class ConsensusPredictor:
+    """Single-program 3-plane predict + reconstruct + consensus + metrics.
+
+    Usage:
+        cp = ConsensusPredictor(model, variables, vol_shape=(182, 218, 182),
+                                mejora="GC")
+        counts, consensus, vols = cp(slices_by_plane, idx_by_plane, gt_vol)
+        metrics = cp.metrics_from_counts(counts)   # host-side dict
+
+    `slices_by_plane[p]` are RAW volume-space slices [N_p, h_p, w_p]
+    (float); enhancement and the PNG min-max stretch happen on device.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        vol_shape,
+        mejora: str | None = "Base",
+        imgsz: int = 640,
+        conf: float = 0.25,
+        iou: float = 0.7,
+        max_det: int = 300,
+        umbral: int = 2,
+        mask_thresh: float = 0.0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.vol_shape = tuple(vol_shape)
+        self.mejora = mejora
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.umbral = umbral
+        self.mask_thresh = mask_thresh
+        self.lb = {}
+        for p in PLANES:
+            h, w = geometry.slice_shape(self.vol_shape, p)
+            # PNG-space (model) dims are transposed volume-slice dims
+            self.lb[p] = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
+        self._jitted = jax.jit(self._run)
+
+    def _run(self, variables, slices, idx, gt):
+        reg_max = self.model.cfg.reg_max
+        ns = []
+        xs = []
+        for p in PLANES:
+            img_u8 = enhance.enhance_for_model(slices[p], self.mejora)
+            png = geometry.to_png_space_batch(img_u8).astype(jnp.float32) / 255.0
+            xs.append(self.lb[p].apply(png))
+            ns.append(slices[p].shape[0])
+        x = jnp.concatenate(xs, axis=0)
+        x = jnp.repeat(x[..., None], 3, axis=-1)  # [sum(N), S, S, 3]
+
+        out = self.model.apply(variables, x, train=False)
+        box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
+        anchors, strides = dec.make_anchors(self.imgsz, self.imgsz)
+        boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
+        scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
+        nb, _, keep, kidx = nms_batch(boxes, scores, self.conf, self.iou, self.max_det)
+        kept_coef = jnp.take_along_axis(mcoef, kidx[..., None], axis=1)
+        union = jax.vmap(_mask_union_logits)(out["proto"], kept_coef, nb, keep)
+
+        vols = {}
+        start = 0
+        for p, n in zip(PLANES, ns):
+            u = union[start : start + n]
+            start += n
+            lb = self.lb[p]
+            ys, xs_g = lb.src_centers_in_letterbox()
+            ys = (ys + 0.5) / 4.0 - 0.5  # letterbox px -> proto px
+            xs_g = (xs_g + 0.5) / 4.0 - 0.5
+            png_masks = jax.vmap(lambda m: _bilinear_sample(m, ys, xs_g))(u)
+            masks = geometry.from_png_space_batch(png_masks > self.mask_thresh)
+            vols[p] = geometry.insert_slices(
+                self.vol_shape, masks.astype(jnp.float32), p, idx[p]
+            )
+
+        cons = consensus_vote(
+            vols["axial"], vols["coronal"], vols["sagital"], self.umbral
+        )
+        counts = mx._confusion_counts(gt, cons)
+        return counts, cons, vols
+
+    def __call__(self, slices, idx, gt):
+        for p in PLANES:
+            h, w = geometry.slice_shape(self.vol_shape, p)
+            assert slices[p].shape[1:] == (h, w), (p, slices[p].shape)
+        return self._jitted(self.variables, dict(slices), dict(idx), gt)
+
+    @staticmethod
+    def metrics_from_counts(counts) -> dict:
+        """Host-side: fetched [tp,fp,fn,tn] -> reference metrics dict."""
+        return mx.metrics_from_counts(counts)

@@ -2,8 +2,8 @@
 
 The counterpart of the Ultralytics validator that fills the reference's
 ``results.csv`` metric columns. One jitted program per batch produces
-losses, NMS'd detections and per-image COCO match bits; the host only
-accumulates AP tables (evalx/seg_map.py).
+losses, NMS'd detections and per-image Ultralytics-exact match bits; the
+host only accumulates AP tables (evalx/seg_map.py).
 
 Mask IoU is computed at proto resolution (160x160 for 640 input) — the
 mask logits' native grid. This is evaluator PARITY, not an
@@ -66,7 +66,7 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
         proto = out["proto"]
         mh, mw = proto.shape[1], proto.shape[2]
 
-        def per_image(proto_i, coef_i, boxes_i, keep_i, scores_i, instmap_i, valid_i, gtb_i):
+        def per_image(proto_i, coef_i, boxes_i, keep_i, instmap_i, valid_i, gtb_i):
             # predicted masks at proto res, cropped to boxes
             logits = jnp.einsum("kc,hwc->khw", coef_i.astype(jnp.float32),
                                 proto_i.astype(jnp.float32))
@@ -86,12 +86,12 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
 
             iou_b = seg_map.box_iou_pairs(boxes_i, gtb_i)
             iou_m = seg_map.mask_iou_pairs(pmasks, gmasks)
-            tp_b = seg_map.match_image(iou_b, scores_i, keep_i, valid_i)
-            tp_m = seg_map.match_image(iou_m, scores_i, keep_i, valid_i)
+            tp_b = seg_map.match_image(iou_b, keep_i, valid_i)
+            tp_m = seg_map.match_image(iou_m, keep_i, valid_i)
             return tp_b, tp_m
 
         tp_b, tp_m = jax.vmap(per_image)(
-            proto, kept_coef, nb, keep, ns,
+            proto, kept_coef, nb, keep,
             batch["instmap_proto"], batch["valid"], batch["boxes"],
         )
         losses = {k: parts[k] for k in ("box", "seg", "cls", "dfl")}

@@ -28,15 +28,16 @@ BASELINE_SLICES_PER_S = 2.5
 DEMO_DS = Path("/root/reference/demo/MSLesSeg-Dataset/train")
 
 
-def load_patient_volume():
-    """P39 FLAIR + GT from the reference demo, or synthetic fallback."""
+def load_patient_volume(pid: str = "P39"):
+    """Demo-patient FLAIR + GT from the reference demo, or synthetic
+    fallback."""
     from tpu_mslesseg.io import nifti
 
-    flair_p = DEMO_DS / "P39" / "T1" / "P39_T1_FLAIR.nii.gz"
-    mask_p = DEMO_DS / "P39" / "T1" / "P39_T1_MASK.nii.gz"
+    flair_p = DEMO_DS / pid / "T1" / f"{pid}_T1_FLAIR.nii.gz"
+    mask_p = DEMO_DS / pid / "T1" / f"{pid}_T1_MASK.nii.gz"
     if flair_p.exists():
         return nifti.load(flair_p).get_fdata(), nifti.load(mask_p).get_fdata()
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(hash(pid) % 2**31)
     vol = rng.normal(500, 150, (182, 218, 182)).astype(np.float64)
     mask = np.zeros((182, 218, 182))
     mask[80:100, 100:130, 70:110] = 1
@@ -75,7 +76,12 @@ def main():
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model
 
-    vol, gt = load_patient_volume()
+    # serving workload: BOTH demo patients (P39 + P18) in one dispatch —
+    # the patient axis folds into the conv batch, so the forward runs at
+    # its best measured MXU efficiency (b=300 > b=150 img/s) and the
+    # tunnel round trip amortizes over the batch
+    patients = [load_patient_volume("P39"), load_patient_volume("P18")]
+    vol_shape = patients[0][0].shape
     # bf16 activations: the parity target itself runs fp16 AMP inference
     model, cfg = create_model(nc=1, scale="n", dtype=jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames="train")(
@@ -84,26 +90,35 @@ def main():
 
     n_per_plane = 50  # canonical P50 config
 
-    def build_runner(device=None, n=n_per_plane):
+    def build_runner(device=None, n=n_per_plane, n_patients=len(patients)):
         """The fused single-program 3-plane pipeline (enhance -> batched
         forward -> NMS -> masks -> 3 volume scatters -> consensus ->
-        confusion counts) with all arrays committed to `device` (None =
-        default backend). One dispatch + one 4-scalar fetch per run."""
+        confusion counts) over a batch of patients, with all arrays
+        committed to `device` (None = default backend). One dispatch +
+        one [P,4]-scalar fetch per run."""
         place = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
         variables_d = jax.tree_util.tree_map(place, variables)
-        work = prepare_plane_work(vol, gt, n)
-        slices_dev = {p: place(w[1]) for p, w in work.items()}
-        idx_dev = {p: place(np.asarray(w[0], np.int32)) for p, w in work.items()}
-        gt_dev = place(np.asarray(gt, np.float32))
-        cp = ConsensusPredictor(model, variables_d, gt.shape, mejora="GC")
+        works = [prepare_plane_work(v, g, n) for v, g in patients[:n_patients]]
+        slices_dev = {
+            p: place(np.stack([np.asarray(w[p][1]) for w in works]))
+            for p in works[0]
+        }
+        idx_dev = {
+            p: place(np.stack([np.asarray(w[p][0], np.int32) for w in works]))
+            for p in works[0]
+        }
+        gts_dev = place(
+            np.stack([np.asarray(g, np.float32) for _, g in patients[:n_patients]])
+        )
+        cp = ConsensusPredictor(model, variables_d, vol_shape, mejora="GC")
 
         def run_once():
-            counts, _, _ = cp(slices_dev, idx_dev, gt_dev)
-            return counts  # fetching these 4 scalars syncs the program
+            counts, _, _ = cp.lote(slices_dev, idx_dev, gts_dev)
+            return counts  # fetching these scalars syncs the program
 
         return run_once
 
-    total_slices = n_per_plane * 3
+    total_slices = n_per_plane * 3 * len(patients)
 
     # NOTE the explicit device_get inside the timed region: on the axon
     # tunnel `block_until_ready` returns at dispatch, not completion, so
@@ -122,12 +137,15 @@ def main():
     sps = total_slices / min(times)
 
     # measured CPU floor in the same process: the SAME fused program on
-    # the XLA-CPU backend, 5 slices/plane (per-slice throughput is
-    # n-independent for the conv-dominated path; 50/plane runs minutes)
+    # the XLA-CPU backend, 1 patient x 5 slices/plane (per-slice
+    # throughput is n-independent for the conv-dominated path; the full
+    # workload runs minutes on CPU)
     cpu_sps = None
     try:
         n_cpu = 5
-        run_cpu = build_runner(jax.local_devices(backend="cpu")[0], n=n_cpu)
+        run_cpu = build_runner(
+            jax.local_devices(backend="cpu")[0], n=n_cpu, n_patients=1
+        )
         jax.device_get(run_cpu())
         t0 = time.time()
         jax.device_get(run_cpu())
@@ -148,6 +166,7 @@ def main():
         "unit": "slices/s",
         "vs_baseline": round(sps / BASELINE_SLICES_PER_S, 2),
         "reference_runnable": reference_runnable,
+        "patients_per_dispatch": len(patients),
     }
     if cpu_sps is not None:
         out["measured_cpu_sps"] = round(cpu_sps, 2)

@@ -73,3 +73,25 @@ def test_fused_is_one_program_and_scatters_all_planes():
         untouched = np.delete(np.asarray(vols[p]), np.asarray(idx[p]), axis=ax)
         assert (untouched == 0).all()
     assert np.asarray(counts).shape == (4,)
+
+
+def test_lote_matches_per_patient_calls():
+    model, variables, slices, idx, gt = _setup()
+    cp = ConsensusPredictor(model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ)
+
+    # patient 2: shifted copy of the volume slices, same GT
+    slices2 = {p: jnp.flip(s, axis=1) for p, s in slices.items()}
+    counts_a, cons_a, _ = cp(slices, idx, gt)
+    counts_b, cons_b, _ = cp(slices2, idx, gt)
+
+    sl = {p: jnp.stack([slices[p], slices2[p]]) for p in PLANES}
+    ix = {p: jnp.stack([idx[p], idx[p]]) for p in PLANES}
+    gts = jnp.stack([gt, gt])
+    counts, cons, vols = cp.lote(sl, ix, gts)
+
+    np.testing.assert_array_equal(np.asarray(counts[0]), np.asarray(counts_a))
+    np.testing.assert_array_equal(np.asarray(counts[1]), np.asarray(counts_b))
+    np.testing.assert_array_equal(np.asarray(cons[0]), np.asarray(cons_a))
+    np.testing.assert_array_equal(np.asarray(cons[1]), np.asarray(cons_b))
+    for p in PLANES:
+        assert vols[p].shape == (2,) + VOL_SHAPE

@@ -11,6 +11,7 @@ JAX kernels.
 
 from pathlib import Path
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -81,3 +82,15 @@ def test_enhance_batch_dispatch(goldens):
         assert out.shape == imgs.shape and out.dtype == np.uint8
     with pytest.raises(ValueError):
         enhance.enhance_batch(imgs.astype(np.float32), "XX")
+
+
+def test_gc_elementwise_equals_lut_all_values():
+    """The TPU-fast elementwise GC must reproduce the reference LUT on all
+    256 inputs for every gamma (elementwise where the trace-time IEEE
+    check passes, gather fallback otherwise — e.g. gamma=1.0's float64
+    truncation quirk, or non-integer gammas)."""
+    all_vals = jnp.asarray(np.arange(256, dtype=np.uint8).reshape(1, 16, 16))
+    for gamma in (1.0, 2.0, 3.0, 2.2, 0.5):
+        ours = np.asarray(enhance.gc_batch(all_vals, gamma)).ravel()
+        lut = enhance._gc_lut(gamma)
+        np.testing.assert_array_equal(ours, lut[np.arange(256)], err_msg=f"gamma={gamma}")

@@ -82,8 +82,18 @@ class ConsensusPredictor:
             # PNG-space (model) dims are transposed volume-slice dims
             self.lb[p] = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
         self._jitted = jax.jit(self._run)
+        # serving mode: one program over a batch of patients. NOT a
+        # whole-program vmap — that lowers measurably worse (about 1.2x
+        # slower end to end, and 2x on XLA-CPU, even at P=1); instead the
+        # patient axis is reshaped into the slice batch so the forward/
+        # NMS program is byte-identical to the single-patient one, and
+        # only the per-patient scatters/counts are vmapped
+        self._jitted_lote = jax.jit(self._run_lote)
 
-    def _run(self, variables, slices, idx, gt):
+    def _union_logits(self, variables, slices):
+        """Enhance + letterbox each plane's slice batch, run ONE
+        concatenated forward + NMS + proto-mask union. Returns
+        (union [sum(M), mh, mw] logits, per-plane batch sizes)."""
         reg_max = self.model.cfg.reg_max
         ns = []
         xs = []
@@ -93,7 +103,7 @@ class ConsensusPredictor:
             xs.append(self.lb[p].apply(png))
             ns.append(slices[p].shape[0])
         x = jnp.concatenate(xs, axis=0)
-        x = jnp.repeat(x[..., None], 3, axis=-1)  # [sum(N), S, S, 3]
+        x = jnp.repeat(x[..., None], 3, axis=-1)  # [sum(M), S, S, 3]
 
         out = self.model.apply(variables, x, train=False)
         box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
@@ -103,26 +113,55 @@ class ConsensusPredictor:
         nb, _, keep, kidx = nms_batch(boxes, scores, self.conf, self.iou, self.max_det)
         kept_coef = jnp.take_along_axis(mcoef, kidx[..., None], axis=1)
         union = jax.vmap(_mask_union_logits)(out["proto"], kept_coef, nb, keep)
+        return union, ns
 
+    def _plane_masks(self, union_p, plane):
+        """Union logits [M, mh, mw] -> volume-space binary slices [M, h, w]
+        via the exact inverse-letterbox sampling grid."""
+        lb = self.lb[plane]
+        ys, xs_g = lb.src_centers_in_letterbox()
+        ys = (ys + 0.5) / 4.0 - 0.5  # letterbox px -> proto px
+        xs_g = (xs_g + 0.5) / 4.0 - 0.5
+        png_masks = jax.vmap(lambda m: _bilinear_sample(m, ys, xs_g))(union_p)
+        return geometry.from_png_space_batch(png_masks > self.mask_thresh)
+
+    def _run(self, variables, slices, idx, gt):
+        union, ns = self._union_logits(variables, slices)
         vols = {}
         start = 0
         for p, n in zip(PLANES, ns):
-            u = union[start : start + n]
+            masks = self._plane_masks(union[start : start + n], p)
             start += n
-            lb = self.lb[p]
-            ys, xs_g = lb.src_centers_in_letterbox()
-            ys = (ys + 0.5) / 4.0 - 0.5  # letterbox px -> proto px
-            xs_g = (xs_g + 0.5) / 4.0 - 0.5
-            png_masks = jax.vmap(lambda m: _bilinear_sample(m, ys, xs_g))(u)
-            masks = geometry.from_png_space_batch(png_masks > self.mask_thresh)
             vols[p] = geometry.insert_slices(
                 self.vol_shape, masks.astype(jnp.float32), p, idx[p]
             )
-
         cons = consensus_vote(
             vols["axial"], vols["coronal"], vols["sagital"], self.umbral
         )
         counts = mx._confusion_counts(gt, cons)
+        return counts, cons, vols
+
+    def _run_lote(self, variables, slices, idx, gts):
+        n_pat = gts.shape[0]
+        flat = {
+            p: slices[p].reshape((-1,) + slices[p].shape[2:]) for p in PLANES
+        }
+        union, ns = self._union_logits(variables, flat)
+        vols = {}
+        start = 0
+        for p, n in zip(PLANES, ns):
+            masks = self._plane_masks(union[start : start + n], p)
+            start += n
+            masks = masks.reshape((n_pat, -1) + masks.shape[1:])
+            vols[p] = jax.vmap(
+                lambda m, i, p=p: geometry.insert_slices(
+                    self.vol_shape, m.astype(jnp.float32), p, i
+                )
+            )(masks, idx[p])
+        cons = consensus_vote(  # elementwise: batches over patients free
+            vols["axial"], vols["coronal"], vols["sagital"], self.umbral
+        )
+        counts = jax.vmap(mx._confusion_counts)(gts, cons)
         return counts, cons, vols
 
     def __call__(self, slices, idx, gt):
@@ -130,6 +169,15 @@ class ConsensusPredictor:
             h, w = geometry.slice_shape(self.vol_shape, p)
             assert slices[p].shape[1:] == (h, w), (p, slices[p].shape)
         return self._jitted(self.variables, dict(slices), dict(idx), gt)
+
+    def lote(self, slices, idx, gts):
+        """Batch of patients in ONE dispatch: `slices[p]` [P, N, h, w],
+        `idx[p]` [P, N], `gts` [P, X, Y, Z]. Returns per-patient
+        (counts [P,4], consensus [P,...], vols {plane: [P,...]})."""
+        for p in PLANES:
+            h, w = geometry.slice_shape(self.vol_shape, p)
+            assert slices[p].shape[2:] == (h, w), (p, slices[p].shape)
+        return self._jitted_lote(self.variables, dict(slices), dict(idx), gts)
 
     @staticmethod
     def metrics_from_counts(counts) -> dict:

@@ -212,8 +212,42 @@ def _gc_lut(gamma: float) -> np.ndarray:
     return (np.linspace(0, 1, 256) ** gamma * 255).astype(np.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _gc_elementwise_exact(gamma: float) -> bool:
+    """Whether the f32 elementwise formula floor((x/255)^gamma * 255) —
+    with the power as repeated multiplication — reproduces `_gc_lut(gamma)`
+    on ALL 256 inputs.
+
+    Why this matters: a 256-entry LUT gather over a slice batch is the
+    single hottest op in the fused inference program on TPU (~15 ms per
+    50 slices, more than the whole letterbox), while the elementwise form
+    fuses into the surrounding program for ~free. Why the check is sound:
+    the candidate uses only *, / and floor, which IEEE-754 requires to be
+    correctly rounded, so this host-side numpy-f32 verification transfers
+    bit-for-bit to the device; `pow` would NOT qualify (platform-specific
+    transcendental approximations), hence integer gammas only.
+    """
+    g = int(gamma)
+    if g != gamma or not (1 <= g <= 16):
+        return False
+    x = np.arange(256, dtype=np.float32)
+    t = x / np.float32(255.0)
+    acc = t.copy()
+    for _ in range(g - 1):
+        acc = acc * t
+    cand = np.floor(acc * np.float32(255.0)).astype(np.uint8)
+    return bool(np.array_equal(cand, _gc_lut(gamma)))
+
+
 @functools.partial(jax.jit, static_argnames=("gamma",))
 def gc_batch(imgs_u8, gamma: float = 2.0):
+    if _gc_elementwise_exact(gamma):  # trace-time constant
+        g = int(gamma)
+        t = imgs_u8.astype(jnp.float32) / 255.0
+        acc = t
+        for _ in range(g - 1):
+            acc = acc * t
+        return jnp.floor(acc * 255.0).astype(jnp.uint8)
     lut = jnp.asarray(_gc_lut(gamma))
     return lut[imgs_u8.astype(jnp.int32)]
 

@@ -1,0 +1,91 @@
+"""batch=-1 auto-batch: solver math, HBM detection, engine wiring."""
+
+import numpy as np
+import pytest
+
+from tpu_mslesseg.train import autobatch
+
+
+def test_solve_max_batch_linear_model():
+    # fixed=2GiB, per_image=100MiB, budget=12GiB -> (12-2)/0.1 ~ 102 -> 96
+    gib = 1 << 30
+    mib = 1 << 20
+    peak8 = 2 * gib + 8 * 100 * mib
+    peak16 = 2 * gib + 16 * 100 * mib
+    b = autobatch.solve_max_batch(8, peak8, 16, peak16, 12 * gib)
+    assert b == 96
+
+
+def test_solve_max_batch_caps_and_multiples():
+    b = autobatch.solve_max_batch(8, 100, 16, 200, 10_000_000, max_batch=64)
+    assert b == 64
+    # per_image=12.5, fixed=0: budget 62 -> floor(4.96)=4, below the
+    # rounding multiple so the exact fit is kept
+    b = autobatch.solve_max_batch(8, 100, 16, 200, 62)
+    assert b == 4
+
+    # nothing fits (budget below the fixed cost) / non-informative -> None
+    assert autobatch.solve_max_batch(8, 1000, 16, 1080, 900) is None
+    assert autobatch.solve_max_batch(8, 200, 16, 200, 10_000) is None
+    assert autobatch.solve_max_batch(8, 0, 16, 0, 10_000) is None
+
+
+def test_device_hbm_env_override(monkeypatch):
+    monkeypatch.setenv("TPU_MSLESSEG_HBM_BYTES", str(7 << 30))
+    assert autobatch.device_hbm_bytes() == 7 << 30
+
+
+def test_device_hbm_cpu_is_none(monkeypatch):
+    monkeypatch.delenv("TPU_MSLESSEG_HBM_BYTES", raising=False)
+    # CPU backend: device_kind matches no TPU prefix and memory_stats()
+    # gives no bytes_limit -> None -> caller falls back to the default
+    assert autobatch.device_hbm_bytes() in (None,) or isinstance(
+        autobatch.device_hbm_bytes(), int
+    )
+
+
+def test_auto_batch_falls_back_without_hbm(monkeypatch, tiny_train_setup):
+    model, cfg, train_set, acfg = tiny_train_setup
+    monkeypatch.delenv("TPU_MSLESSEG_HBM_BYTES", raising=False)
+    b = autobatch.auto_batch_size(model, cfg, train_set, acfg, n_data=2)
+    assert b == autobatch.DEFAULT_BATCH * 2  # CPU: unknown memory
+
+
+def test_auto_batch_aot_probe_on_cpu(monkeypatch, tmp_path, tiny_train_setup):
+    """Force an HBM size so the AOT probe path runs end to end on the CPU
+    backend. XLA-CPU's memory_analysis may report zero peaks (-> default
+    fallback) or real ones (-> a solved batch); both are valid outcomes,
+    what must hold is that the plumbing neither raises nor returns junk."""
+    model, cfg, train_set, acfg = tiny_train_setup
+    monkeypatch.setenv("TPU_MSLESSEG_HBM_BYTES", str(16 << 30))
+    monkeypatch.setattr(
+        autobatch, "_CACHE_PATH", tmp_path / "autobatch.json"
+    )
+    b = autobatch.auto_batch_size(model, cfg, train_set, acfg, probes=(2, 4))
+    assert isinstance(b, int) and b >= 1
+
+
+@pytest.fixture
+def tiny_train_setup():
+    import jax.numpy as jnp
+
+    from tpu_mslesseg.model.yolo11 import create_model
+    from tpu_mslesseg.train import augment, data as tdata
+    from tpu_mslesseg.train.trainer import TrainConfig
+
+    model, _ = create_model(nc=1, scale="n")
+    cfg = TrainConfig(epochs=1, batch_size=-1, imgsz=64)
+
+    class FakeSet:
+        max_inst = 4
+
+        def as_dict(self):
+            return {
+                "images": np.zeros((6, 64, 64), np.uint8),
+                "instmaps": np.zeros((6, 64, 64), np.uint8),
+                "boxes": np.zeros((6, 4, 4), np.float32),
+                "valid": np.zeros((6, 4), bool),
+            }
+
+    acfg = augment.AugConfig(imgsz=64, max_inst=4, mosaic=True)
+    return model, cfg, FakeSet(), acfg

@@ -113,7 +113,13 @@ def parsear_args(argv=None):
         help="Entrenar TODOS los folds en un solo programa SPMD "
              "(eje 'fold' del mesh).",
     )
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument(
+        "--batch", type=int, default=-1,
+        help="Tamaño de batch; -1 (por defecto, como la referencia) = "
+             "automático según la memoria del dispositivo (sondeo AOT del "
+             "paso de entrenamiento real; en v5e resuelve 16 — el antiguo "
+             "default 32 NO cabe a 640 con mosaic).",
+    )
     parser.add_argument(
         "--imgsz", type=int, default=640,
         help="Lado de la entrada de red (divisible por 32).",
@@ -191,8 +197,14 @@ def main(argv=None):
         plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
         k_folds=args.k_folds, mejora=args.mejora,
     )
+    batch = args.batch
+    if batch == -1 and args.paralelo:
+        # the fold-parallel engine sizes per-fold batches itself; the AOT
+        # memory probe only models the sequential single-fold program
+        logger.warning("⚠️ batch=-1 no soportado con --paralelo; usando 32.")
+        batch = 32
     cfg = TrainConfig(
-        epochs=args.epochs, batch_size=args.batch, amp=not args.no_amp,
+        epochs=args.epochs, batch_size=batch, amp=not args.no_amp,
         imgsz=args.imgsz,
     )
     if args.paralelo:

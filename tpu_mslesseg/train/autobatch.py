@@ -1,0 +1,202 @@
+"""``batch=-1`` auto-batch: largest train batch that fits device memory.
+
+Reference parity: the reference trains with ``batch=-1``
+(``train.py:358-366``), which Ultralytics resolves by probing CUDA free
+memory and picking ~60% utilization (their ``autobatch.py``). The TPU
+equivalent implemented here is *exact* rather than sampled: AOT-compile
+the REAL fused train-step program at two probe batch sizes — XLA's buffer
+assignment reports the precise peak HBM bytes without executing anything
+(``compiled.memory_analysis()``) — fit the linear model
+``peak(B) = fixed + per_image * B``, and solve for the target HBM
+fraction. The two probe compiles land in the persistent XLA compile
+cache, and the resolved batch is memoized on disk per
+(device, model, image size, instance budget) so later folds/runs skip
+straight to the answer.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from tpu_mslesseg.pipeline.logging_setup import get_logger
+
+logger = get_logger(__file__)
+
+# HBM per chip by device_kind prefix (jax doesn't expose capacity when
+# memory_stats() is unavailable, e.g. through the axon tunnel)
+_HBM_BY_KIND = (
+    ("TPU v5 lite", 16 << 30),  # v5e
+    ("TPU v5p", 95 << 30),
+    ("TPU v5", 16 << 30),
+    ("TPU v6 lite", 32 << 30),  # Trillium
+    ("TPU v4", 32 << 30),
+    ("TPU v3", 16 << 30),
+    ("TPU v2", 8 << 30),
+)
+
+_CACHE_PATH = Path(
+    os.environ.get(
+        "TPU_MSLESSEG_AUTOBATCH_CACHE",
+        Path.home() / ".cache" / "tpu_mslesseg" / "autobatch.json",
+    )
+)
+
+DEFAULT_BATCH = 32  # fallback when memory can't be determined
+DEFAULT_FRACTION = float(
+    os.environ.get("TPU_MSLESSEG_AUTOBATCH_FRACTION", "0.6")
+)  # Ultralytics autobatch target utilization
+
+
+def device_hbm_bytes(device=None) -> int | None:
+    """Usable accelerator memory in bytes, or None if undeterminable
+    (e.g. CPU backend, where auto-batch falls back to the default)."""
+    env = os.environ.get("TPU_MSLESSEG_HBM_BYTES")
+    if env:
+        return int(env)
+    device = device or jax.devices()[0]
+    stats = device.memory_stats() or {}
+    if stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    for prefix, size in _HBM_BY_KIND:
+        if device.device_kind.startswith(prefix):
+            return size
+    return None
+
+
+def solve_max_batch(
+    b_lo: int,
+    peak_lo: int,
+    b_hi: int,
+    peak_hi: int,
+    budget: int,
+    max_batch: int = 128,
+    multiple: int = 8,
+) -> int | None:
+    """Largest batch with fixed + per_image*B <= budget (linear model from
+    two probe points), rounded down to `multiple`. None when the probe
+    data is unusable (non-increasing peaks) or nothing fits."""
+    if b_hi <= b_lo or peak_hi <= peak_lo or peak_lo <= 0:
+        return None
+    per_image = (peak_hi - peak_lo) / (b_hi - b_lo)
+    fixed = peak_lo - per_image * b_lo
+    b = int((budget - fixed) // per_image)
+    b = min(b, max_batch)
+    if b >= multiple:
+        b -= b % multiple
+    if b < 1:
+        return None
+    return b
+
+
+def _peak_bytes(model, cfg, train_set, acfg, batch_size: int) -> int:
+    """AOT peak-HBM of the real train step at `batch_size` (no execution).
+
+    Lowers from abstract shapes (jax.eval_shape) — neither params nor the
+    batch are materialized; only XLA's buffer assignment runs.
+    """
+    from tpu_mslesseg.train import augment, trainer
+
+    steps_nominal = 100  # only feeds the LR schedule; shapes unaffected
+    state_sh = jax.eval_shape(
+        lambda: trainer.init_train_state(model, cfg, steps_nominal)
+    )
+    dd = train_set.as_dict()
+    dset_sh = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dd
+    )
+    key_sh = jax.ShapeDtypeStruct((2,), np.uint32)
+    idx_sh = jax.ShapeDtypeStruct((batch_size, 4), np.int32)
+    batch_sh = jax.eval_shape(
+        functools.partial(augment.make_batch, cfg=acfg), key_sh, dset_sh, idx_sh
+    )
+    step = trainer.make_train_step(model, cfg, steps_nominal)
+    compiled = step.lower(state_sh, batch_sh).compile()
+    return int(compiled.memory_analysis().peak_memory_in_bytes)
+
+
+def _cache_load() -> dict:
+    try:
+        return json.loads(_CACHE_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _cache_store(key: str, value: int) -> None:
+    try:
+        cache = _cache_load()
+        cache[key] = value
+        _CACHE_PATH.parent.mkdir(parents=True, exist_ok=True)
+        _CACHE_PATH.write_text(json.dumps(cache, indent=1, sort_keys=True))
+    except OSError:
+        pass  # cache is an optimization, never a failure
+
+
+def auto_batch_size(
+    model,
+    cfg,
+    train_set,
+    acfg,
+    n_data: int = 1,
+    fraction: float = DEFAULT_FRACTION,
+    max_batch: int = 128,
+    probes: tuple = (8, 16),
+) -> int:
+    """Resolve ``batch=-1``: per-device max batch at `fraction` of HBM,
+    times the data-parallel axis size `n_data` (the batch dim shards over
+    'data', so per-device memory scales with B/n_data)."""
+    dev = jax.devices()[0]
+    hbm = device_hbm_bytes(dev)
+    if hbm is None:
+        logger.info(
+            f"🤖 batch=-1: memoria del dispositivo desconocida "
+            f"({dev.device_kind}); usando batch={DEFAULT_BATCH}."
+        )
+        return DEFAULT_BATCH * n_data
+
+    key = "|".join(
+        str(v)
+        for v in (
+            dev.device_kind,
+            type(model).__name__,
+            getattr(model.cfg, "scale", "?"),
+            cfg.imgsz,
+            acfg.max_inst,
+            cfg.amp,
+            fraction,
+            max_batch,
+        )
+    )
+    cached = _cache_load().get(key)
+    if cached is not None:
+        logger.info(f"🤖 batch=-1 (cacheado): {cached} por dispositivo x {n_data}.")
+        return int(cached) * n_data
+
+    try:
+        peaks = [_peak_bytes(model, cfg, train_set, acfg, b) for b in probes]
+    except Exception as e:  # AOT unsupported on this backend
+        logger.warning(f"⚠️ batch=-1: sondeo AOT falló ({e}); batch={DEFAULT_BATCH}.")
+        return DEFAULT_BATCH * n_data
+
+    budget = int(hbm * fraction)
+    b = solve_max_batch(probes[0], peaks[0], probes[1], peaks[1], budget,
+                        max_batch=max_batch)
+    if b is None:
+        logger.warning(
+            f"⚠️ batch=-1: picos AOT no informativos ({peaks}); "
+            f"batch={DEFAULT_BATCH}."
+        )
+        return DEFAULT_BATCH * n_data
+
+    per_image = (peaks[1] - peaks[0]) / (probes[1] - probes[0])
+    logger.info(
+        f"🤖 batch=-1: HBM {hbm / 2**30:.0f}G x {fraction:.0%} -> "
+        f"batch {b}/dispositivo ({per_image / 2**20:.0f} MiB/imagen) x {n_data}."
+    )
+    _cache_store(key, b)
+    return b * n_data

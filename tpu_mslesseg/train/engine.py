@@ -93,6 +93,27 @@ def train_fold(
         f"{len(val_set) if val_set else 0} val, max_inst={train_set.max_inst}"
     )
 
+    # batch=-1 (reference default, ``train.py:358-366``): resolve the
+    # largest batch that fits device memory from an AOT probe of the real
+    # train step (see train/autobatch.py); per-device result scales by
+    # the data-parallel axis, applied below
+    if cfg.batch_size == -1:
+        from dataclasses import replace
+
+        from tpu_mslesseg.core import mesh as meshlib
+        from tpu_mslesseg.train import autobatch
+
+        n_data_ab = int(mesh.shape[meshlib.DATA_AXIS]) if mesh is not None else 1
+        acfg_probe = augment.AugConfig(
+            imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=True
+        )
+        cfg = replace(
+            cfg,
+            batch_size=autobatch.auto_batch_size(
+                model, cfg, train_set, acfg_probe, n_data=n_data_ab,
+            ),
+        )
+
     # auto-batch: never larger than the dataset (reference batch=-1 spirit)
     if cfg.batch_size > len(train_set):
         from dataclasses import replace

@@ -72,6 +72,19 @@ def train_folds_parallel(
     from dataclasses import replace
 
     output_root = Path(output_root)
+    if cfg.batch_size == -1:
+        # batch=-1's AOT memory probe models the sequential single-fold
+        # program, not the fold-stacked shard_map one; use the default
+        from dataclasses import replace as _replace
+
+        from tpu_mslesseg.train import autobatch
+
+        logger.info(
+            f"🤖 batch=-1 no sondeable en modo fold-paralelo; "
+            f"batch={autobatch.DEFAULT_BATCH}."
+        )
+        cfg = _replace(cfg, batch_size=autobatch.DEFAULT_BATCH)
+
     n_data = 1
     k_pad = k_folds
     if mesh is not None:

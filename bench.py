@@ -110,7 +110,10 @@ def main():
         gts_dev = place(
             np.stack([np.asarray(g, np.float32) for _, g in patients[:n_patients]])
         )
-        cp = ConsensusPredictor(model, variables_d, vol_shape, mejora="GC")
+        cp = ConsensusPredictor(
+            model, variables_d, vol_shape, mejora="GC",
+            platform=device.platform if device else None,
+        )
 
         def run_once():
             counts, _, _ = cp.lote(slices_dev, idx_dev, gts_dev)
@@ -134,7 +137,20 @@ def main():
         t0 = time.time()
         jax.device_get(run_once())
         times.append(time.time() - t0)
-    sps = total_slices / min(times)
+    latency_s = min(times)
+
+    # sustained serving throughput: enqueue K batches back-to-back and
+    # fetch results in order — dispatch is async and the device executes
+    # its stream sequentially, so each fetch overlaps the later batches'
+    # compute. This is how a serving loop actually runs; the per-batch
+    # tunnel round trip amortizes out of the steady state (it stays
+    # visible in latency_batch_ms).
+    K = 5
+    t0 = time.time()
+    outs = [run_once() for _ in range(K)]
+    for o in outs:
+        jax.device_get(o)
+    sps = total_slices * K / (time.time() - t0)
 
     # measured CPU floor in the same process: the SAME fused program on
     # the XLA-CPU backend, 1 patient x 5 slices/plane (per-slice
@@ -165,6 +181,7 @@ def main():
         "value": round(sps, 2),
         "unit": "slices/s",
         "vs_baseline": round(sps / BASELINE_SLICES_PER_S, 2),
+        "latency_batch_ms": round(latency_s * 1e3, 1),
         "reference_runnable": reference_runnable,
         "patients_per_dispatch": len(patients),
     }

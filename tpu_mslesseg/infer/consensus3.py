@@ -33,7 +33,8 @@ from tpu_mslesseg.core import geometry
 from tpu_mslesseg.evalx import metrics as mx
 from tpu_mslesseg.infer import decode as dec
 from tpu_mslesseg.infer.nms import nms_batch
-from tpu_mslesseg.infer.predictor import _bilinear_sample, _mask_union_logits
+from tpu_mslesseg.infer.mask_union_pallas import mask_union_logits_batch
+from tpu_mslesseg.infer.predictor import _bilinear_sample
 from tpu_mslesseg.infer.reconstruct import consensus_vote
 from tpu_mslesseg.preproc import enhance
 
@@ -65,8 +66,10 @@ class ConsensusPredictor:
         max_det: int = 300,
         umbral: int = 2,
         mask_thresh: float = 0.0,
+        platform: str | None = None,
     ):
         self.model = model
+        self.platform = platform
         self.variables = variables
         self.vol_shape = tuple(vol_shape)
         self.mejora = mejora
@@ -103,6 +106,10 @@ class ConsensusPredictor:
             xs.append(self.lb[p].apply(png))
             ns.append(slices[p].shape[0])
         x = jnp.concatenate(xs, axis=0)
+        # cast to the model's compute dtype BEFORE the 3-channel repeat:
+        # the first conv casts anyway (numerics unchanged), but doing it
+        # here halves the HBM footprint of the [sum(M), S, S, 3] input
+        x = x.astype(self.model.dtype)
         x = jnp.repeat(x[..., None], 3, axis=-1)  # [sum(M), S, S, 3]
 
         out = self.model.apply(variables, x, train=False)
@@ -112,7 +119,9 @@ class ConsensusPredictor:
         scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
         nb, _, keep, kidx = nms_batch(boxes, scores, self.conf, self.iou, self.max_det)
         kept_coef = jnp.take_along_axis(mcoef, kidx[..., None], axis=1)
-        union = jax.vmap(_mask_union_logits)(out["proto"], kept_coef, nb, keep)
+        union = mask_union_logits_batch(
+            out["proto"], kept_coef, nb, keep, platform=self.platform
+        )
         return union, ns
 
     def _plane_masks(self, union_p, plane):

@@ -32,32 +32,11 @@ import numpy as np
 
 from tpu_mslesseg.core import geometry
 from tpu_mslesseg.infer import decode as dec
+from tpu_mslesseg.infer.mask_union_pallas import (
+    mask_union_logits_batch,
+    mask_union_logits_ref as _mask_union_logits,  # noqa: F401 (API compat)
+)
 from tpu_mslesseg.infer.nms import nms_batch
-
-
-def _mask_union_logits(proto, mcoef, boxes_lb, keep, proto_stride: int = 4):
-    """Union of cropped per-instance mask logits at proto resolution.
-
-    proto [mh, mw, nm]; mcoef [K, nm]; boxes_lb [K,4] letterbox px;
-    keep [K] bool. Returns [mh, mw] max-of-logits with -inf outside kept
-    instance boxes.
-    """
-    mh, mw, nm = proto.shape
-    logits = jnp.einsum("kc,hwc->khw", mcoef.astype(jnp.float32),
-                        proto.astype(jnp.float32))
-    boxes_p = boxes_lb / proto_stride
-    rows = jnp.arange(mh, dtype=jnp.float32)[None, :, None]
-    cols = jnp.arange(mw, dtype=jnp.float32)[None, None, :]
-    x1 = boxes_p[:, 0][:, None, None]
-    y1 = boxes_p[:, 1][:, None, None]
-    x2 = boxes_p[:, 2][:, None, None]
-    y2 = boxes_p[:, 3][:, None, None]
-    inside = (cols >= x1) & (cols < x2) & (rows >= y1) & (rows < y2)
-    ok = inside & keep[:, None, None]
-    # large-negative instead of -inf: the union map later goes through a
-    # bilinear sample, and -inf * 0-weight would produce NaNs
-    masked = jnp.where(ok, logits, -1e4)
-    return jnp.max(masked, axis=0)
 
 
 def _bilinear_sample(img, ys, xs):
@@ -102,9 +81,11 @@ class SlicePredictor:
         iou: float = 0.7,
         max_det: int = 300,
         mask_thresh: float = 0.0,
+        platform: str | None = None,
     ):
         self.model = model
         self.variables = variables
+        self.platform = platform
         self.slice_hw = tuple(slice_hw)
         self.imgsz = imgsz
         self.conf = conf
@@ -123,6 +104,9 @@ class SlicePredictor:
         png = geometry.to_png_space_batch(slices_u8)  # [N, w, h]
         x = png.astype(jnp.float32) / 255.0
         x = lb.apply(x)  # [N, S, S]
+        # model-dtype cast before the repeat: numerics identical (the
+        # first conv casts anyway), halves the network-input HBM traffic
+        x = x.astype(self.model.dtype)
         x = jnp.repeat(x[..., None], 3, axis=-1)
 
         out = self.model.apply(variables, x, train=False)
@@ -135,7 +119,9 @@ class SlicePredictor:
         kept_coef = jnp.take_along_axis(mcoef, idx[..., None], axis=1)
 
         proto = out["proto"]  # [N, S/4, S/4, nm]
-        union = jax.vmap(_mask_union_logits)(proto, kept_coef, nb, keep)
+        union = mask_union_logits_batch(
+            proto, kept_coef, nb, keep, platform=self.platform
+        )
 
         # sample logits at source-pixel centers through the inverse letterbox
         ys, xs = lb.src_centers_in_letterbox()

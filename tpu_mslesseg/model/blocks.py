@@ -55,7 +55,13 @@ class Conv(nn.Module):
             dtype=jnp.float32,
             name="bn",
         )(x)
-        return nn.silu(x) if self.act else x
+        x = nn.silu(x) if self.act else x
+        # AMP semantics (torch autocast parity): BN+SiLU compute in f32,
+        # but the block's OUTPUT is consumed in the compute dtype. The
+        # explicit cast keeps the f32 intermediate inside the XLA fusion —
+        # without it every conv fusion materializes BOTH a bf16 and an
+        # f32 copy of the activation (measured ~2x HBM write traffic).
+        return x.astype(self.dtype)
 
 
 class DWConv(nn.Module):

@@ -60,9 +60,14 @@ def main(argv=None):
     model, _ = create_model(nc=1, scale="n", dtype=dtype)
     steps = max(len(train_set) // cfg.batch_size, 1)
     state = trainer.init_train_state(model, cfg, steps)
-    step_fn = trainer.make_train_step(model, cfg, steps)
     acfg_m = augment.AugConfig(max_inst=train_set.max_inst, mosaic=True)
     acfg_p = augment.AugConfig(max_inst=train_set.max_inst, mosaic=False)
+    # whole-epoch scan programs: one dispatch per epoch (the per-step
+    # loop paid two tunnel round trips per sub-100ms step)
+    epoch_fns = {
+        True: trainer.make_epoch_fn(model, cfg, steps, acfg_m),
+        False: trainer.make_epoch_fn(model, cfg, steps, acfg_p),
+    }
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -73,22 +78,18 @@ def main(argv=None):
         mosaic = epoch <= cfg.epochs - cfg.close_mosaic
         key, ke = jax.random.split(key)
         idx = tdata.epoch_indices(ke, len(train_set), cfg.batch_size, mosaic)
-        ms = []
+        key, kas = trainer.split_chain(key, int(idx.shape[0]))
         t0 = time.time() if epoch > 2 else None  # skip compile epochs
-        for s in range(idx.shape[0]):
-            key, ka = jax.random.split(key)
-            batch = augment.make_batch(ka, dd, idx[s], acfg_m if mosaic else acfg_p)
-            state, m = step_fn(state, batch)
-            ms.append(m)
+        state, ms = epoch_fns[mosaic](state, kas, dd, idx)
         if t0 is not None:
             # axon tunnel: block_until_ready returns at dispatch; only a
             # host fetch gives an honest wall time
-            float(ms[-1]["loss"])
+            float(ms["loss"][-1])
             t_steps += time.time() - t0
             n_steps += idx.shape[0]
         if epoch % 20 == 0 or epoch == cfg.epochs:
             fetched = jax.device_get(ms)
-            line = {k: float(np.mean([mm[k] for mm in fetched]))
+            line = {k: float(np.mean(fetched[k]))
                     for k in ("box", "seg", "cls", "dfl")}
             logger.info(f"🏋️ Epoch {epoch}/{cfg.epochs}: {line}")
     if n_steps:

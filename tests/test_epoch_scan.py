@@ -1,0 +1,92 @@
+"""Whole-epoch scan program vs the per-step loop: bitwise key chain,
+equivalent training trajectory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_mslesseg.model.yolo11 import create_model
+from tpu_mslesseg.train import augment, data as tdata, trainer
+
+
+def _tiny_dataset(n=6, hw=64, rng=None):
+    rng = rng or np.random.default_rng(0)
+    images = rng.integers(0, 255, (n, hw, hw), np.uint8)
+    instmaps = np.zeros((n, hw, hw), np.uint8)
+    boxes = np.zeros((n, 3, 4), np.float32)
+    valid = np.zeros((n, 3), bool)
+    for i in range(n):
+        instmaps[i, 10:30, 12:40] = 1
+        boxes[i, 0] = (12, 10, 40, 30)
+        valid[i, 0] = True
+    return {
+        "images": jnp.asarray(images),
+        "instmaps": jnp.asarray(instmaps),
+        "boxes": jnp.asarray(boxes),
+        "valid": jnp.asarray(valid),
+    }
+
+
+def test_split_chain_matches_host_loop():
+    key = jax.random.PRNGKey(7)
+    host_key = key
+    host_ks = []
+    for _ in range(5):
+        host_key, ka = jax.random.split(host_key)
+        host_ks.append(ka)
+    final, ks = trainer.split_chain(key, 5)
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(host_key))
+    np.testing.assert_array_equal(np.asarray(ks), np.stack(host_ks))
+
+
+def test_epoch_fn_matches_per_step_loop():
+    model, _ = create_model(nc=1, scale="n")
+    cfg = trainer.TrainConfig(epochs=1, batch_size=2, imgsz=64, max_fg=8)
+    dd = _tiny_dataset()
+    steps = 2
+    acfg = augment.AugConfig(imgsz=64, max_inst=3, mosaic=True)
+
+    state_a = trainer.init_train_state(model, cfg, steps)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ke = jax.random.split(key)
+    idx = tdata.epoch_indices(ke, 6, cfg.batch_size, mosaic=True)
+    idx = idx[:steps]
+
+    # path A: legacy per-step loop
+    step_fn = trainer.make_train_step(model, cfg, steps)
+    key_a = key
+    ms_a = []
+    for s in range(steps):
+        key_a, ka = jax.random.split(key_a)
+        batch = augment.make_batch(ka, dd, idx[s], acfg)
+        state_a, m = step_fn(state_a, batch)
+        ms_a.append(m)
+
+    # path B: one epoch program
+    epoch_fn = trainer.make_epoch_fn(model, cfg, steps, acfg)
+    key_b, kas = trainer.split_chain(key, steps)
+    state_b, ms_b = epoch_fn(state_b, kas, dd, idx)
+
+    np.testing.assert_array_equal(np.asarray(key_a), np.asarray(key_b))
+    # per-step losses come out bitwise-equal in practice: identical keys
+    # -> identical batches -> identical forward. (The loss at step s uses
+    # the params from step s-1, so equality here also pins the updates.)
+    la = np.array([float(m["loss"]) for m in ms_a])
+    lb = np.asarray(ms_b["loss"])
+    np.testing.assert_allclose(lb, la, rtol=1e-6)
+    for ta, tb in ((state_a.batch_stats, state_b.batch_stats),):
+        for a, b in zip(jax.tree_util.tree_leaves(ta),
+                        jax.tree_util.tree_leaves(tb)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-6, atol=1e-8)
+    # params: the scan-compiled backward fuses differently, so the LAST
+    # update reassociates (measured <=1.4e-5 abs on O(0.1) weights);
+    # anything larger would indicate a real semantic difference
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-5)
+    assert int(state_b.step) == steps

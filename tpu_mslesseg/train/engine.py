@@ -163,7 +163,6 @@ def train_fold(
             logger.info(f"🔁 Reanudando desde la época {start_epoch} (last.ckpt).")
         except Exception as e:
             logger.warning(f"⚠️ No se pudo reanudar desde last.ckpt: {e}")
-    step_fn = trainer.make_train_step(model, cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
     val_step = validate.make_val_step(model, loss_cfg) if val_set is not None else None
     results = trainer.ResultsWriter(
@@ -176,6 +175,12 @@ def train_fold(
     acfg_plain = augment.AugConfig(
         imgsz=cfg.imgsz, max_inst=train_set.max_inst, mosaic=False
     )
+    # whole-epoch scan programs (one dispatch per epoch; see
+    # trainer.make_epoch_fn) — one per augmentation regime
+    epoch_fns = {
+        True: trainer.make_epoch_fn(model, cfg, steps_per_epoch, acfg_mosaic),
+        False: trainer.make_epoch_fn(model, cfg, steps_per_epoch, acfg_plain),
+    }
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
 
     dd = train_set.as_dict()
@@ -186,12 +191,11 @@ def train_fold(
     for _ in range((start_epoch - 1) * (1 + steps_per_epoch)):
         key, _ = jax.random.split(key)
 
-    repl_sh = data_sh = None
+    repl_sh = None
     if mesh is not None:
         from tpu_mslesseg.core import mesh as meshlib
 
         repl_sh = meshlib.replicated(mesh)
-        data_sh = meshlib.data_sharding(mesh)
         state = jax.device_put(state, repl_sh)
         dd = jax.device_put(dd, repl_sh)
 
@@ -217,27 +221,28 @@ def train_fold(
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic
-        acfg = acfg_mosaic if use_mosaic else acfg_plain
         key, k_epoch = jax.random.split(key)
         idx = tdata.epoch_indices(k_epoch, len(train_set), cfg.batch_size, use_mosaic)
 
-        # async dispatch: metrics stay on device until the per-epoch fetch
-        step_metrics = []
-        for s in range(idx.shape[0]):
-            key, k_aug = jax.random.split(key)
-            idx_s = idx[s]
-            if mesh is not None:
-                # shard the source indices over 'data': augmentation and the
-                # train step then run SPMD over the batch dim end to end
-                k_aug = jax.device_put(k_aug, repl_sh)
-                idx_s = jax.device_put(idx_s, data_sh)
-            batch = augment.make_batch(k_aug, dd, idx_s, acfg)
-            state, m = step_fn(state, batch)
-            step_metrics.append(m)
-        fetched = jax.device_get(step_metrics)
+        # the per-step k_aug chain, reproduced bitwise in one program
+        key, k_augs = trainer.split_chain(key, int(idx.shape[0]))
+        if mesh is not None:
+            # shard the source indices over 'data' (dim 1 = batch): the
+            # augmentation and train step inside the scan then run SPMD
+            # over the batch dim end to end
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from tpu_mslesseg.core import mesh as meshlib
+
+            k_augs = jax.device_put(k_augs, repl_sh)
+            idx = jax.device_put(
+                idx,
+                NamedSharding(mesh, PartitionSpec(None, meshlib.DATA_AXIS)),
+            )
+        state, ms = epoch_fns[use_mosaic](state, k_augs, dd, idx)
+        fetched = jax.device_get(ms)
         train_losses = {
-            k: float(np.mean([m[k] for m in fetched]))
-            for k in ("box", "seg", "cls", "dfl")
+            k: float(np.mean(fetched[k])) for k in ("box", "seg", "cls", "dfl")
         }
 
         if val_set is not None and (epoch % val_every == 0 or epoch == cfg.epochs):

@@ -179,6 +179,50 @@ def make_train_step(model, cfg: TrainConfig, steps_per_epoch: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def split_chain(key, n: int):
+    """Replicates ``for _ in range(n): key, k = jax.random.split(key)`` in
+    ONE program. Returns (final_key, ks [n, 2]) bitwise-equal to the host
+    loop — the per-step key chain survives the move to epoch programs, so
+    seeded runs (and resume replay) draw identical batches either way."""
+
+    def body(k, _):
+        k2, ka = jax.random.split(k)
+        return k2, ka
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
+def make_epoch_fn(model, cfg: TrainConfig, steps_per_epoch: int, acfg):
+    """Whole-epoch train program: ``lax.scan`` over (augment -> step) with
+    the device-resident dataset.
+
+    The per-step loop pays TWO dispatches per step (augmentation batch +
+    train step); through a tunneled TPU each dispatch costs a host round
+    trip comparable to the sub-100ms step compute itself. Scanning the
+    epoch on device makes it ONE dispatch per epoch; the augmentation
+    pipeline stays on device (TPU-first replacement for the reference's
+    ``workers: 8`` host dataloader processes, ``args.yaml:14``).
+
+    Returns jit(epoch)(state, k_augs [S,2], dataset_dict, idx [S,B,4]) ->
+    (state, metrics dict of [S] arrays). Batches are bitwise identical to
+    the per-step path when k_augs comes from `split_chain`.
+    """
+    from tpu_mslesseg.train import augment as _aug
+
+    step = make_train_step_fn(model, cfg, steps_per_epoch)
+
+    def epoch(state, k_augs, dataset, idx):
+        def body(st, xs):
+            k_aug, idx_s = xs
+            batch = _aug.make_batch(k_aug, dataset, idx_s, acfg)
+            return step(st, batch)
+
+        return jax.lax.scan(body, state, (k_augs, idx))
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
 RESULTS_HEADER = [
     "epoch", "time",
     "train/box_loss", "train/seg_loss", "train/cls_loss", "train/dfl_loss",

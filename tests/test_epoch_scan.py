@@ -90,3 +90,17 @@ def test_epoch_fn_matches_per_step_loop():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-5)
     assert int(state_b.step) == steps
+
+
+def test_fold_key_chain_matches_host_loop():
+    from tpu_mslesseg.train import fold_parallel
+
+    key = jax.random.PRNGKey(3)
+    host_key = key
+    host_keys = []
+    for _ in range(4):
+        host_key, kk = jax.random.split(host_key)
+        host_keys.append(jax.random.split(kk, 6))
+    final, keys = fold_parallel.fold_key_chain(key, 4, 6)
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(host_key))
+    np.testing.assert_array_equal(np.asarray(keys), np.stack(host_keys))

@@ -147,10 +147,12 @@ def train_folds_parallel(
         except Exception as e:
             logger.warning(f"⚠️ No se pudo reanudar desde el checkpoint apilado: {e}")
 
-    step_m = fold_parallel.make_multi_fold_step(
+    # whole-epoch programs: one dispatch advances every fold a full
+    # epoch (see fold_parallel.make_multi_fold_epoch_fn)
+    epoch_m = fold_parallel.make_multi_fold_epoch_fn(
         model, cfg, steps_per_epoch, acfg_m, mesh=mesh
     )
-    step_p = fold_parallel.make_multi_fold_step(
+    epoch_p = fold_parallel.make_multi_fold_epoch_fn(
         model, cfg, steps_per_epoch, acfg_p, mesh=mesh
     )
 
@@ -161,7 +163,7 @@ def train_folds_parallel(
     for _ in range((start_epoch - 1) * steps_per_epoch):
         key, _ = jax.random.split(key)
 
-    fold_sh = None
+    fold_sh = keys_sh = None
     if mesh is not None:
         # committed single-device arrays can't be auto-resharded by jit:
         # place the stacked state/pools on the fold axis, the pool replicated
@@ -170,6 +172,7 @@ def train_folds_parallel(
         from tpu_mslesseg.core import mesh as meshlib
 
         fold_sh = NamedSharding(mesh, P(meshlib.FOLD_AXIS))
+        keys_sh = NamedSharding(mesh, P(None, meshlib.FOLD_AXIS))
         repl = NamedSharding(mesh, P())
         state = jax.device_put(state, fold_sh)
         pools = jax.device_put(pools, fold_sh)
@@ -212,19 +215,20 @@ def train_folds_parallel(
 
     with mesh if mesh is not None else nullcontext():
         for epoch in range(start_epoch, cfg.epochs + 1):
-            step = step_m if epoch <= cfg.epochs - cfg.close_mosaic else step_p
-            step_metrics = []
-            for _ in range(steps_per_epoch):
-                key, k = jax.random.split(key)
-                keys = jax.random.split(k, k_pad)
-                if fold_sh is not None:
-                    keys = jax.device_put(keys, fold_sh)
-                state, metrics = step(state, keys, pools, counts, dd)
-                step_metrics.append(metrics)
-            fetched = jax.device_get(step_metrics)  # list of {k: [k_pad]}
+            epoch_fn = (
+                epoch_m if epoch <= cfg.epochs - cfg.close_mosaic else epoch_p
+            )
+            # per-step key chain reproduced bitwise in one program
+            key, keys = fold_parallel.fold_key_chain(
+                key, steps_per_epoch, k_pad
+            )
+            if keys_sh is not None:
+                keys = jax.device_put(keys, keys_sh)
+            state, ms = epoch_fn(state, keys, pools, counts, dd)
+            fetched = jax.device_get(ms)  # {k: [S, k_pad]}
             # per-fold mean over the epoch's steps
             train_losses = {
-                k: np.mean([m[k] for m in fetched], axis=0)
+                k: np.mean(fetched[k], axis=0)
                 for k in ("box", "seg", "cls", "dfl")
             }
 

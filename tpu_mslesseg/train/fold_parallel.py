@@ -15,6 +15,8 @@ mesh.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,11 +90,10 @@ def init_multi_fold_state(model, cfg: TrainConfig, steps_per_epoch: int,
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 
-def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
-                         acfg: augment.AugConfig, mesh=None):
-    """Returns jitted fn(state_F, keys [F], pools, counts, dataset) ->
-    (state_F, metrics_F). Each fold samples its own mosaic batch and takes
-    one optimizer step.
+def _build_local_folds(model, cfg: TrainConfig, steps_per_epoch: int,
+                       acfg: augment.AugConfig, mesh=None):
+    """Shared body of the step/epoch programs: fn(state_F, keys_F, pools,
+    counts, dataset) advancing every locally-held fold one step.
 
     Folds are mapped with `shard_map` over the mesh 'fold' axis: folds
     co-located on a device run sequentially (`lax.map`), folds on
@@ -133,6 +134,15 @@ def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
             (state_F, keys_F, pools_F, counts_F),
         )
 
+    return local_folds
+
+
+def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
+                         acfg: augment.AugConfig, mesh=None):
+    """Returns jitted fn(state_F, keys [F], pools, counts, dataset) ->
+    (state_F, metrics_F): one optimizer step for every fold (see
+    `_build_local_folds` for the mapping strategy)."""
+    local_folds = _build_local_folds(model, cfg, steps_per_epoch, acfg, mesh)
     if mesh is None:
         return jax.jit(local_folds)
 
@@ -146,6 +156,53 @@ def make_multi_fold_step(model, cfg: TrainConfig, steps_per_epoch: int,
         out_specs=(fold, fold),
     )
     return jax.jit(mapped)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k_pad"))
+def fold_key_chain(key, n: int, k_pad: int):
+    """Replicates the per-step host chain ``key, k = split(key);
+    keys_F = split(k, k_pad)`` for n steps in ONE program. Returns
+    (final_key, keys [n, k_pad, 2]) bitwise-equal to the host loop, so
+    seeded runs and resume replay draw identical batches."""
+
+    def body(k, _):
+        k2, kk = jax.random.split(k)
+        return k2, jax.random.split(kk, k_pad)
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
+def make_multi_fold_epoch_fn(model, cfg: TrainConfig, steps_per_epoch: int,
+                             acfg: augment.AugConfig, mesh=None):
+    """Whole-epoch fold-parallel program: ``lax.scan`` over the per-step
+    body INSIDE the shard_map, so an epoch of all folds is ONE dispatch
+    (the per-step loop paid a tunnel round trip per step; see
+    `trainer.make_epoch_fn` for the single-fold analogue).
+
+    Returns jit(fn)(state_F, keys [S, F, 2], pools, counts, dataset) ->
+    (state_F, metrics dict of [S, F])."""
+    local_folds = _build_local_folds(model, cfg, steps_per_epoch, acfg, mesh)
+
+    def local_epoch(state_F, keys_SF, pools_F, counts_F, dataset):
+        def body(st, ks):
+            return local_folds(st, ks, pools_F, counts_F, dataset)
+
+        return jax.lax.scan(body, state_F, keys_SF)
+
+    if mesh is None:
+        return jax.jit(local_epoch, donate_argnums=(0,))
+
+    from jax import shard_map
+
+    fold = P(meshlib.FOLD_AXIS)
+    step_fold = P(None, meshlib.FOLD_AXIS)
+    mapped = shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(fold, step_fold, fold, fold, P()),
+        out_specs=(fold, step_fold),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
 
 
 def extract_fold_state(state_F: TrainState, fold: int) -> TrainState:

@@ -79,7 +79,12 @@ def main(argv=None):
         key, ke = jax.random.split(key)
         idx = tdata.epoch_indices(ke, len(train_set), cfg.batch_size, mosaic)
         key, kas = trainer.split_chain(key, int(idx.shape[0]))
-        t0 = time.time() if epoch > 2 else None  # skip compile epochs
+        # skip compile epochs: each augmentation regime's epoch program
+        # first compiles on its first use (mosaic at epoch 1, plain at
+        # the close_mosaic switch) — exclude both from the timing
+        first_plain = cfg.epochs - cfg.close_mosaic + 1
+        cold = epoch <= 2 or epoch in (first_plain, first_plain + 1)
+        t0 = None if cold else time.time()
         state, ms = epoch_fns[mosaic](state, kas, dd, idx)
         if t0 is not None:
             # axon tunnel: block_until_ready returns at dispatch; only a

@@ -86,7 +86,7 @@ def _pick_tile(npix: int) -> int | None:
 
 
 def _union_kernel(
-    nact_ref, coef_ref, bounds_ref, protoT_ref, out_ref, *, tile_p, mw, kpad
+    nact_ref, coef_ref, bounds_ref, protoT_ref, out_ref, *, tile_p, mw
 ):
     i = pl.program_id(0)
     t = pl.program_id(1)
@@ -194,7 +194,7 @@ def mask_union_logits_batch(
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_union_kernel, tile_p=tile_p, mw=mw, kpad=kpad),
+        functools.partial(_union_kernel, tile_p=tile_p, mw=mw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n, npix // tile_p, 8, tile_p), jnp.float32

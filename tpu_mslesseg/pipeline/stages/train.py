@@ -197,14 +197,8 @@ def main(argv=None):
         plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,
         k_folds=args.k_folds, mejora=args.mejora,
     )
-    batch = args.batch
-    if batch == -1 and args.paralelo:
-        # the fold-parallel engine sizes per-fold batches itself; the AOT
-        # memory probe only models the sequential single-fold program
-        logger.warning("⚠️ batch=-1 no soportado con --paralelo; usando 32.")
-        batch = 32
     cfg = TrainConfig(
-        epochs=args.epochs, batch_size=batch, amp=not args.no_amp,
+        epochs=args.epochs, batch_size=args.batch, amp=not args.no_amp,
         imgsz=args.imgsz,
     )
     if args.paralelo:

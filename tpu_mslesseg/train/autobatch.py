@@ -95,10 +95,12 @@ def solve_max_batch(
 
 
 def _peak_bytes(model, cfg, train_set, acfg, batch_size: int) -> int:
-    """AOT peak-HBM of the real train step at `batch_size` (no execution).
-
-    Lowers from abstract shapes (jax.eval_shape) — neither params nor the
-    batch are materialized; only XLA's buffer assignment runs.
+    """AOT peak-HBM of the fused (augment -> train step) program at
+    `batch_size` — the scan body the epoch program actually runs — plus
+    the argument footprint (device-resident dataset + train state), so
+    the estimate covers what the deployed whole-epoch program holds in
+    HBM. No execution: lowered from abstract shapes, only XLA's buffer
+    assignment runs.
     """
     from tpu_mslesseg.train import augment, trainer
 
@@ -112,12 +114,20 @@ def _peak_bytes(model, cfg, train_set, acfg, batch_size: int) -> int:
     )
     key_sh = jax.ShapeDtypeStruct((2,), np.uint32)
     idx_sh = jax.ShapeDtypeStruct((batch_size, 4), np.int32)
-    batch_sh = jax.eval_shape(
-        functools.partial(augment.make_batch, cfg=acfg), key_sh, dset_sh, idx_sh
+    step = trainer.make_train_step_fn(model, cfg, steps_nominal)
+
+    def aug_step(state, key, dset, idx):
+        return step(state, augment.make_batch(key, dset, idx, acfg))
+
+    compiled = (
+        jax.jit(aug_step).lower(state_sh, key_sh, dset_sh, idx_sh).compile()
     )
-    step = trainer.make_train_step(model, cfg, steps_nominal)
-    compiled = step.lower(state_sh, batch_sh).compile()
-    return int(compiled.memory_analysis().peak_memory_in_bytes)
+    ma = compiled.memory_analysis()
+    # peak may or may not count argument buffers depending on the
+    # backend; adding them is a safe overestimate (smaller solved batch)
+    return int(ma.peak_memory_in_bytes) + int(
+        getattr(ma, "argument_size_in_bytes", 0)
+    )
 
 
 def _cache_load() -> dict:
@@ -163,10 +173,12 @@ def auto_batch_size(
         str(v)
         for v in (
             dev.device_kind,
+            hbm,  # budget participates: an HBM override must miss the cache
             type(model).__name__,
             getattr(model.cfg, "scale", "?"),
             cfg.imgsz,
             acfg.max_inst,
+            cfg.max_fg,  # sizes the mask-loss chunks
             cfg.amp,
             fraction,
             max_batch,
@@ -184,14 +196,24 @@ def auto_batch_size(
         return DEFAULT_BATCH * n_data
 
     budget = int(hbm * fraction)
-    b = solve_max_batch(probes[0], peaks[0], probes[1], peaks[1], budget,
-                        max_batch=max_batch)
-    if b is None:
+    if peaks[1] <= peaks[0] or peaks[0] <= 0:
+        # probe produced no usable signal (e.g. a backend reporting zero
+        # peaks): fall back to the default
         logger.warning(
             f"⚠️ batch=-1: picos AOT no informativos ({peaks}); "
             f"batch={DEFAULT_BATCH}."
         )
         return DEFAULT_BATCH * n_data
+    b = solve_max_batch(probes[0], peaks[0], probes[1], peaks[1], budget,
+                        max_batch=max_batch)
+    if b is None:
+        # informative probes and still nothing fits: falling back UP to a
+        # batch that is known too big would guarantee an OOM — fail loudly
+        raise ValueError(
+            f"batch=-1: ni batch=1 cabe en {fraction:.0%} de "
+            f"{hbm / 2**30:.0f}G (picos sonda {peaks} @ {probes}); reduzca "
+            f"imgsz/escala o fije --batch explícitamente."
+        )
 
     per_image = (peaks[1] - peaks[0]) / (probes[1] - probes[0])
     logger.info(

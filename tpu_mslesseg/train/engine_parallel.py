@@ -72,19 +72,6 @@ def train_folds_parallel(
     from dataclasses import replace
 
     output_root = Path(output_root)
-    if cfg.batch_size == -1:
-        # batch=-1's AOT memory probe models the sequential single-fold
-        # program, not the fold-stacked shard_map one; use the default
-        from dataclasses import replace as _replace
-
-        from tpu_mslesseg.train import autobatch
-
-        logger.info(
-            f"🤖 batch=-1 no sondeable en modo fold-paralelo; "
-            f"batch={autobatch.DEFAULT_BATCH}."
-        )
-        cfg = _replace(cfg, batch_size=autobatch.DEFAULT_BATCH)
-
     n_data = 1
     k_pad = k_folds
     if mesh is not None:
@@ -93,10 +80,6 @@ def train_folds_parallel(
         fold_par = int(mesh.shape[meshlib.FOLD_AXIS])
         n_data = int(mesh.shape[meshlib.DATA_AXIS])
         k_pad = -(-k_folds // fold_par) * fold_par
-        bs = max(-(-cfg.batch_size // n_data) * n_data, n_data)
-        if bs != cfg.batch_size:
-            logger.info(f"📐 Batch {cfg.batch_size} -> {bs} (eje data={n_data}).")
-            cfg = replace(cfg, batch_size=bs)
 
     pool = tdata.build_dataset(
         patients, plano, modalidades, mejora, num_cortes, dataset_dir,
@@ -105,6 +88,31 @@ def train_folds_parallel(
     pools, counts = fold_parallel.build_fold_index_pools(
         pool.meta, k_folds, calcular_fold, k_pad=k_pad
     )
+
+    if cfg.batch_size == -1:
+        # probe the single-fold augment+step program: `lax.map` runs the
+        # folds co-located on a device sequentially, so the per-device
+        # peak is approximately ONE fold's step (the stacked params/opt
+        # copies are small next to the activations and sit inside the
+        # probe's safety margin); the per-fold batch scales by 'data'
+        from tpu_mslesseg.train import autobatch
+
+        acfg_probe = augment.AugConfig(
+            imgsz=cfg.imgsz, max_inst=pool.max_inst, mosaic=True
+        )
+        cfg = replace(
+            cfg,
+            batch_size=autobatch.auto_batch_size(
+                model, cfg, pool, acfg_probe, n_data=n_data
+            ),
+        )
+
+    if n_data > 1:
+        bs = max(-(-cfg.batch_size // n_data) * n_data, n_data)
+        if bs != cfg.batch_size:
+            logger.info(f"📐 Batch {cfg.batch_size} -> {bs} (eje data={n_data}).")
+            cfg = replace(cfg, batch_size=bs)
+
     n_min = int(np.asarray(counts[:k_folds]).min())
     if cfg.batch_size > n_min:
         eff = max(1 << max((n_min // 2).bit_length() - 1, 2), 4)

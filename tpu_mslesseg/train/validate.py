@@ -128,11 +128,16 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
         dd = jax.device_put(dd, repl_sh)
         key = jax.device_put(key, repl_sh)
 
+    # dispatch every batch first, fetch once: jax dispatch is async, so
+    # the single device_get at the end overlaps all batches' compute and
+    # pays ONE host sync for the whole val pass (a per-batch fetch cost a
+    # tunnel round trip per 16 slices)
+    pending = []
     for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0), batch_size):
         idx_np = np.arange(start, min(start + batch_size, n))
         if len(idx_np) < batch_size:  # pad final batch by repeating last
+            real = len(idx_np)
             idx_np = np.concatenate([idx_np, np.full(batch_size - len(idx_np), idx_np[-1])])
-            real = len(np.arange(start, min(start + batch_size, n)))
         else:
             real = batch_size
         idx = jnp.asarray(idx_np)[:, None].repeat(4, axis=1)
@@ -141,11 +146,11 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
         batch = augment.make_batch(key, dd, idx, acfg)
         losses, match = step(variables, batch)
         n_batches += 1
-        # one host fetch per batch (per-image fetches would sync 64x/epoch)
-        fetched = jax.device_get(
-            {**losses, **match, "valid": batch["valid"]}
-        )
-        for k in losses:
+        pending.append((real, {**losses, **match, "valid": batch["valid"]}))
+    for real, fetched in jax.device_get(pending):
+        for k in loss_sums.keys() | fetched.keys() - {
+            "scores", "keep", "tp_b", "tp_m", "valid"
+        }:
             loss_sums[k] = loss_sums.get(k, 0.0) + float(fetched[k])
         for b in range(real):
             acc.add_image(

@@ -113,6 +113,13 @@ def test_prediction_recon_eval_stages(experiment_dir, modelo):
         pred_dir = Path("datasets") / modelo.base_path / "fold1" / "P1" / "axial" / "pred_masks"
         preds = list(pred_dir.glob("*.png"))
         assert len(preds) > 0
+        # filename contract (reference `generar_prediccion_2D` naming):
+        # <paciente>_<modalidad>_<corte>.png — reconstruction and the viz
+        # extras parse these names
+        import re
+
+        for f in preds:
+            assert re.fullmatch(r"P1_FLAIR_\d+\.png", f.name), f.name
 
         # second run skips
         assert generar_predicciones.ejecutar_flujo_pred(config) is None

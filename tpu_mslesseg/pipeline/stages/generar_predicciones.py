@@ -67,8 +67,12 @@ def predicciones_completas(dirs: dict) -> bool:
     return set(imgs) <= set(have)
 
 
-def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
-    """Predict all slices of one patient in one device call."""
+def despachar_paciente_predicciones(paciente_id, config, predictor_cache):
+    """Enqueue the fused prediction program(s) for one patient WITHOUT
+    fetching: returns None (skip), False (no images) or a pending tuple
+    for `finalizar_paciente_predicciones`. Dispatch is async, so queueing
+    every patient first lets the device pipeline their programs while the
+    host loads the next patient's volume and writes the previous PNGs."""
     dirs = config.paciente_dirs(paciente_id)
     if predicciones_completas(dirs):
         return None  # skip
@@ -84,8 +88,8 @@ def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
     )
     # enhanced slices straight from the volume (equivalent to reading back
     # the stage-1 PNGs); multimodal experiments predict every modality and
-    # union the masks (the reference's reconstruction likewise folds every
-    # modality's prediction PNG into the same volume)
+    # union the masks ON DEVICE (the reference's reconstruction likewise
+    # folds every modality's prediction PNG into the same volume)
     from tpu_mslesseg.preproc import enhance
 
     masks = None
@@ -95,16 +99,31 @@ def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
         hw = tuple(imgs.shape[1:])
         if hw not in predictor_cache:
             predictor_cache[hw] = cargar_predictor(config, hw)
-        m = np.asarray(predictor_cache[hw](imgs))
+        m = predictor_cache[hw](imgs)  # device array: no host sync
         masks = m if masks is None else (masks | m)
+    return paciente_id, indices, masks, dirs, paciente.modalidad_str
 
+
+def finalizar_paciente_predicciones(pendiente) -> bool:
+    """Fetch a dispatched patient's masks and write the PNG artifacts."""
+    paciente_id, indices, masks, dirs, mod = pendiente
+    masks_np = np.asarray(masks)
     dirs["pred_masks"].mkdir(parents=True, exist_ok=True)
-    mod = paciente.modalidad_str
     png.save_gray_batch(
         [dirs["pred_masks"] / f"{paciente_id}_{mod}_{i}.png" for i in indices],
-        (masks > 0).astype(np.uint8) * 255,
+        (masks_np > 0).astype(np.uint8) * 255,
     )
     return True
+
+
+def procesar_paciente_predicciones(paciente_id, config, predictor_cache):
+    """Predict all slices of one patient in one device call."""
+    pendiente = despachar_paciente_predicciones(
+        paciente_id, config, predictor_cache
+    )
+    if pendiente is None or pendiente is False:
+        return pendiente
+    return finalizar_paciente_predicciones(pendiente)
 
 
 def ejecutar_flujo_pred(config: ConfigPred, limpiar=False, verbose=False):
@@ -138,9 +157,21 @@ def ejecutar_flujo_pred(config: ConfigPred, limpiar=False, verbose=False):
         if config.dataset_fold_dir.is_dir()
         else []
     )
+    # phase 1: enqueue every patient's fused program (async dispatch);
+    # phase 2: fetch + write PNGs — the fetch of patient i overlaps the
+    # device compute of patients i+1.. and the writes overlap everything
+    pendientes = []
     for pid in pacientes:
         try:
-            resultados.append(procesar_paciente_predicciones(pid, config, cache))
+            pendientes.append((pid, despachar_paciente_predicciones(pid, config, cache)))
+        except Exception as e:
+            logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
+    for pid, pendiente in pendientes:
+        if pendiente is None or pendiente is False:
+            resultados.append(pendiente)
+            continue
+        try:
+            resultados.append(finalizar_paciente_predicciones(pendiente))
         except Exception as e:
             logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
     estado = evaluate_results(resultados)

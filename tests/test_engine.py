@@ -42,6 +42,10 @@ def test_train_fold_end_to_end(synth_dataset, tmp_path):
     )
     assert engine.entrenamiento_exitoso(out)
     assert summary["train_slices"] > 0 and summary["val_slices"] > 0
+    # visual artifacts next to results.csv (reference run-dir parity)
+    for f in ("results.png", "BoxPR_curve.png", "MaskF1_curve.png",
+              "confusion_matrix.png", "train_batch0.jpg"):
+        assert (out / f).exists(), f
 
     with open(out / "results.csv") as f:
         rows = list(csv.reader(f))

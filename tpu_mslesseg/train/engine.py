@@ -203,6 +203,7 @@ def train_fold(
     # demotes an earlier, better best.ckpt
     import json
 
+    val_acc = None  # last validation's accumulator (for curve plots)
     fitness_file = weights / "fitness.json"
     best_fit = -1.0
     if start_epoch > 1:
@@ -252,10 +253,10 @@ def train_fold(
             }
             val_bs = min(cfg.batch_size, 16)
             val_bs = -(-val_bs // n_data) * n_data  # multiple of the data axis
-            val_metrics, val_losses = validate.run_validation(
+            val_metrics, val_losses, val_acc = validate.run_validation(
                 model, variables, val_set, loss_cfg,
                 batch_size=val_bs, imgsz=cfg.imgsz,
-                step=val_step, mesh=mesh,
+                step=val_step, mesh=mesh, return_acc=True,
             )
         else:
             val_metrics, val_losses = {}, {}
@@ -290,6 +291,31 @@ def train_fold(
         # weights are "best" (a completed-run resume must not demote the
         # real best checkpoint)
         checkpoint.save_checkpoint(weights / "best.ckpt", state)
+
+    # visual artifacts next to results.csv (the reference run dir ships
+    # results.png, PR/P/R/F1 curves, confusion matrices and batch
+    # previews via Ultralytics; plots: true in args.yaml)
+    from tpu_mslesseg.core import distributed
+
+    if cfg.plots and distributed.is_main_process():
+        from tpu_mslesseg.train import plots
+
+        plots.plot_results(out / "results.csv")
+        if val_acc is not None:
+            plots.plot_curves(val_acc, out)
+            plots.plot_confusion(val_acc, out)
+        # previews from keys outside the training chain
+        kb = jax.random.PRNGKey(cfg.seed + 7919)
+        previews = []
+        for k in range(3):
+            idx_b = jax.random.randint(
+                jax.random.fold_in(kb, 2 * k),
+                (min(cfg.batch_size, 9), 4), 0, len(train_set),
+            )
+            previews.append(jax.device_get(augment.make_batch(
+                jax.random.fold_in(kb, 2 * k + 1), dd, idx_b, acfg_mosaic
+            )))
+        plots.plot_train_batches(previews, out)
 
     return {
         "best_fitness": best_fit,

@@ -220,6 +220,7 @@ def train_folds_parallel(
         best_fits.append(bf)
 
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
+    val_accs = [None] * k_folds  # last validation accumulators (curves)
 
     with mesh if mesh is not None else nullcontext():
         for epoch in range(start_epoch, cfg.epochs + 1):
@@ -247,10 +248,10 @@ def train_folds_parallel(
                 val_metrics, val_losses = {}, {}
                 if do_val and val_sets[f] is not None:
                     variables = _fold_variables(state, f)
-                    val_metrics, val_losses = validate.run_validation(
+                    val_metrics, val_losses, val_accs[f] = validate.run_validation(
                         model, variables, val_sets[f], loss_cfg,
                         batch_size=min(cfg.batch_size, 16), imgsz=cfg.imgsz,
-                        step=val_step,
+                        step=val_step, return_acc=True,
                     )
                 writers[f].write_epoch(
                     epoch,
@@ -298,6 +299,13 @@ def train_folds_parallel(
             checkpoint.save_checkpoint(
                 weights / "best.ckpt", fold_parallel.extract_fold_state(state, f)
             )
+        if cfg.plots and distributed.is_main_process():
+            from tpu_mslesseg.train import plots
+
+            plots.plot_results(fold_dirs[f] / "results.csv")
+            if val_accs[f] is not None:
+                plots.plot_curves(val_accs[f], fold_dirs[f])
+                plots.plot_confusion(val_accs[f], fold_dirs[f])
         summary[f"fold{f + 1}"] = {"fitness": max(best_fits[f], 0.0)}
         logger.info(f"✅ Fold {f + 1}: fitness={max(best_fits[f], 0.0):.3f}")
     return summary

@@ -52,6 +52,9 @@ class TrainConfig:
     imgsz: int = 640
     seed: int = 0
     max_fg: int = 64
+    # training visual artifacts (results.png, curves, batch previews) as
+    # the reference's run dir ships (args.yaml plots: true)
+    plots: bool = True
     # AMP parity with the reference (args.yaml:8 amp: true): bf16 compute
     # dtype in the model, f32 master params / optimizer / BN stats / losses.
     # Consumed at model-creation time (stages/train.py); the train step

@@ -102,7 +102,7 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
 
 def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
                    batch_size: int = 16, imgsz: int = 640, step=None,
-                   mesh=None):
+                   mesh=None, return_acc: bool = False):
     """Full val pass -> (val_metrics dict for results.csv, val_losses dict).
 
     Pass a cached `step` from `make_val_step` when validating repeatedly —
@@ -161,4 +161,6 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
 
     metrics = acc.compute()
     val_losses = {k: v / max(n_batches, 1) for k, v in loss_sums.items()}
+    if return_acc:  # curve plotting needs the raw score/TP arrays
+        return metrics, val_losses, acc
     return metrics, val_losses

@@ -44,7 +44,8 @@ def test_train_fold_end_to_end(synth_dataset, tmp_path):
     assert summary["train_slices"] > 0 and summary["val_slices"] > 0
     # visual artifacts next to results.csv (reference run-dir parity)
     for f in ("results.png", "BoxPR_curve.png", "MaskF1_curve.png",
-              "confusion_matrix.png", "train_batch0.jpg"):
+              "confusion_matrix.png", "train_batch0.jpg", "labels.jpg",
+              "val_batch0_labels.jpg", "val_batch0_pred.jpg"):
         assert (out / f).exists(), f
 
     with open(out / "results.csv") as f:

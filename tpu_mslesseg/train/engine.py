@@ -316,6 +316,21 @@ def train_fold(
                 jax.random.fold_in(kb, 2 * k + 1), dd, idx_b, acfg_mosaic
             )))
         plots.plot_train_batches(previews, out)
+        plots.plot_labels(train_set, out)
+        if val_set is not None and len(val_set) > 0:
+            from tpu_mslesseg.train import validate as _val
+
+            acfg_v = _val.val_aug_config(val_set.max_inst, cfg.imgsz)
+            nv = min(9, len(val_set))
+            idx_v = jnp.arange(nv, dtype=jnp.int32)[:, None].repeat(4, axis=1)
+            vb = jax.device_get(augment.make_batch(
+                jax.random.PRNGKey(0), val_set.as_dict(), idx_v, acfg_v
+            ))
+            plots.plot_val_batch(
+                model,
+                {"params": state.ema_params, "batch_stats": state.batch_stats},
+                vb, out, imgsz=cfg.imgsz,
+            )
 
     return {
         "best_fitness": best_fit,

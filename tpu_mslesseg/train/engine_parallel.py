@@ -303,6 +303,10 @@ def train_folds_parallel(
             from tpu_mslesseg.train import plots
 
             plots.plot_results(fold_dirs[f] / "results.csv")
+            plots.plot_labels(
+                pool, fold_dirs[f],
+                rows=np.asarray(pools[f])[: int(np.asarray(counts[f]))],
+            )
             if val_accs[f] is not None:
                 plots.plot_curves(val_accs[f], fold_dirs[f])
                 plots.plot_confusion(val_accs[f], fold_dirs[f])

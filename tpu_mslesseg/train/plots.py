@@ -191,3 +191,101 @@ def plot_train_batches(batches, out_dir, max_imgs: int = 9) -> None:
             plt.close(fig)
     except Exception as e:
         logger.warning(f"⚠️ No se pudieron generar los train_batch: {e}")
+
+
+def plot_labels(train_set, out_dir, rows=None) -> None:
+    """labels.jpg: GT label statistics (instances per image, box centers,
+    box sizes) — the reference's Ultralytics labels.jpg analogue.
+    `train_set` is a dataset object (or its as_dict()); `rows` optionally
+    restricts to a subset (e.g. one fold's pool indices)."""
+    out_dir = Path(out_dir)
+    try:
+        dd = train_set if isinstance(train_set, dict) else train_set.as_dict()
+        boxes = np.asarray(dd["boxes"], float)
+        valid = np.asarray(dd["valid"], bool)
+        h, w = np.asarray(dd["images"]).shape[1:3]
+        if rows is not None:
+            rows = np.unique(np.asarray(rows))
+            boxes, valid = boxes[rows], valid[rows]
+        flat = boxes[valid]
+        cx = (flat[:, 0] + flat[:, 2]) / 2 / w
+        cy = (flat[:, 1] + flat[:, 3]) / 2 / h
+        bw = (flat[:, 2] - flat[:, 0]) / w
+        bh = (flat[:, 3] - flat[:, 1]) / h
+        plt = _mpl()
+        fig, axes = plt.subplots(2, 2, figsize=(10, 8))
+        axes[0, 0].hist(valid.sum(axis=1), bins=range(0, valid.shape[1] + 2))
+        axes[0, 0].set_title("instancias por corte")
+        axes[0, 1].hist(np.sqrt(bw * bh), bins=40)
+        axes[0, 1].set_title("tamaño relativo de lesión")
+        axes[1, 0].scatter(cx, cy, s=4, alpha=0.4)
+        axes[1, 0].set_title("centros (x, y)")
+        axes[1, 0].set_xlim(0, 1); axes[1, 0].set_ylim(1, 0)
+        axes[1, 1].scatter(bw, bh, s=4, alpha=0.4)
+        axes[1, 1].set_title("ancho x alto")
+        fig.tight_layout()
+        fig.savefig(out_dir / "labels.jpg", dpi=100)
+        plt.close(fig)
+    except Exception as e:
+        logger.warning(f"⚠️ No se pudo generar labels.jpg: {e}")
+
+
+def plot_val_batch(model, variables, val_batch, out_dir, imgsz: int = 640,
+                   conf: float = 0.25, iou: float = 0.7, k: int = 0) -> None:
+    """val_batch<k>_labels.jpg / val_batch<k>_pred.jpg: the first val
+    slices with GT boxes vs predicted boxes (reference artifact pair)."""
+    out_dir = Path(out_dir)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_mslesseg.infer import decode as dec
+        from tpu_mslesseg.infer.nms import nms_batch
+
+        imgs = np.asarray(val_batch["images"])[:9]
+        gt_boxes = np.asarray(val_batch["boxes"])[:9]
+        gt_valid = np.asarray(val_batch["valid"])[:9]
+
+        @jax.jit
+        def detect(variables, x):
+            out = model.apply(variables, x, train=False)
+            reg_max = model.cfg.reg_max
+            box_d, cls_l, _ = dec.flatten_level_outputs(out, reg_max)
+            anchors, strides = dec.make_anchors(imgsz, imgsz)
+            boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
+            scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
+            nb, ns, keep, _ = nms_batch(boxes, scores, conf, iou, 300)
+            return nb, ns, keep
+
+        nb, ns, keep = jax.device_get(
+            detect(variables, jnp.asarray(imgs, jnp.float32))
+        )
+
+        plt = _mpl()
+        for suffix, draw in (
+            ("labels", lambda ax, b: [
+                ax.add_patch(plt.Rectangle(
+                    (x1, y1), x2 - x1, y2 - y1, fill=False,
+                    edgecolor="#00CC66", linewidth=1))
+                for x1, y1, x2, y2 in gt_boxes[b][gt_valid[b]]
+            ]),
+            ("pred", lambda ax, b: [
+                ax.add_patch(plt.Rectangle(
+                    (x1, y1), x2 - x1, y2 - y1, fill=False,
+                    edgecolor="#FF4500", linewidth=1))
+                for (x1, y1, x2, y2), kp in zip(nb[b], keep[b]) if kp
+            ]),
+        ):
+            fig, axes = plt.subplots(3, 3, figsize=(9, 9))
+            axes = axes.ravel()
+            for b in range(9):
+                axes[b].axis("off")
+                if b >= imgs.shape[0]:
+                    continue
+                axes[b].imshow(imgs[b, ..., 0], cmap="gray", vmin=0, vmax=1)
+                draw(axes[b], b)
+            fig.tight_layout()
+            fig.savefig(out_dir / f"val_batch{k}_{suffix}.jpg", dpi=80)
+            plt.close(fig)
+    except Exception as e:
+        logger.warning(f"⚠️ No se pudo generar val_batch{k}: {e}")

@@ -66,3 +66,42 @@ def test_obtener_mask_path_variants(tmp_path):
     r = tmp_path / "P9"
     r.mkdir()
     assert setup_stage.obtener_mask_path(r, "test") is None
+
+
+def test_setup_download_via_localhost(synthetic_zip, tmp_path, monkeypatch):
+    """End-to-end download path (reference `descargar_archivo`,
+    setup.py:86): a stdlib HTTP server on localhost serves the dataset
+    zip — no egress needed — and the full setup flow (download -> unzip
+    -> GT tree) runs against its URL."""
+    import http.server
+    import os
+    import threading
+
+    serve_dir = synthetic_zip.parent
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(serve_dir), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/{synthetic_zip.name}"
+        workdir = tmp_path / "dl"
+        workdir.mkdir()
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            from tpu_mslesseg.pipeline.stages import setup as setup_stage
+
+            setup_stage.ejecutar_flujo_setup(url=url)
+        finally:
+            os.chdir(cwd)
+        assert (workdir / "MSLesSeg-Dataset" / "train").is_dir()
+        assert any((workdir / "GT" / "train").rglob("*MASK.nii.gz"))
+    finally:
+        httpd.shutdown()

@@ -47,28 +47,12 @@ def validar_corte(slice2d, vol_shape, plano, indice):
         )
 
 
-def reconstruir_volumen_paciente(pred_dir: Path, gt_path: Path, plano: str):
-    """Read all prediction PNGs, validate, scatter into a volume."""
-    gt_shape, affine = nifti.load_header(gt_path)
-    files = sorted(pred_dir.glob("*.png"))
-    indices, slices = [], []
-    for f in files:
-        i = extraer_indice_png(f.name)
-        if i is None:
-            continue
-        s = png.load_pred_png(f)
-        validar_corte(s, gt_shape, plano, i)
-        indices.append(i)
-        slices.append(s)
-    if not indices:
-        raise ValueError(f"No hay predicciones en {pred_dir}.")
-    vol = np.asarray(
-        reconstruct_volume(gt_shape, np.stack(slices), plano, indices)
-    ).astype(np.float32)
-    return vol, affine, gt_shape
-
-
-def procesar_paciente_vol(paciente_id, config: ConfigRecVol):
+def despachar_paciente_vol(paciente_id, config: ConfigRecVol):
+    """Read+validate the patient's prediction PNGs and ENQUEUE the device
+    scatter without fetching: returns None (skip), False (no preds) or a
+    pending tuple for `finalizar_paciente_vol`. Queueing all patients
+    first overlaps each volume's device scatter + host fetch with the
+    next patient's PNG reads."""
     out_path = config.vol_path(paciente_id)
     gt_path = config.gt_path(paciente_id)
 
@@ -87,13 +71,39 @@ def procesar_paciente_vol(paciente_id, config: ConfigRecVol):
     if not pred_dir.is_dir():
         logger.warning(f"⚠️ Sin predicciones para {paciente_id}.")
         return False
-    vol, affine, gt_shape = reconstruir_volumen_paciente(
-        pred_dir, gt_path, config.modelo.plano
+    gt_shape, affine = nifti.load_header(gt_path)
+    files = sorted(pred_dir.glob("*.png"))
+    indices, slices = [], []
+    for f in files:
+        i = extraer_indice_png(f.name)
+        if i is None:
+            continue
+        sl = png.load_pred_png(f)
+        validar_corte(sl, gt_shape, config.modelo.plano, i)
+        indices.append(i)
+        slices.append(sl)
+    if not indices:
+        raise ValueError(f"No hay predicciones en {pred_dir}.")
+    vol_dev = reconstruct_volume(
+        gt_shape, np.stack(slices), config.modelo.plano, indices
     )
-    if vol.shape != gt_shape:
-        raise ValueError(f"Reconstrucción inválida: {vol.shape} vs {gt_shape}.")
-    nifti.save(vol, affine, out_path)
+    if vol_dev.shape != gt_shape:
+        raise ValueError(f"Reconstrucción inválida: {vol_dev.shape} vs {gt_shape}.")
+    return vol_dev, affine, out_path
+
+
+def finalizar_paciente_vol(pendiente) -> bool:
+    """Fetch a dispatched patient's volume and write the NIfTI."""
+    vol_dev, affine, out_path = pendiente
+    nifti.save(np.asarray(vol_dev).astype(np.float32), affine, out_path)
     return True
+
+
+def procesar_paciente_vol(paciente_id, config: ConfigRecVol):
+    pendiente = despachar_paciente_vol(paciente_id, config)
+    if pendiente is None or pendiente is False:
+        return pendiente
+    return finalizar_paciente_vol(pendiente)
 
 
 def ejecutar_flujo_recvol(config: ConfigRecVol, limpiar=False, verbose=False):
@@ -125,9 +135,20 @@ def ejecutar_flujo_recvol(config: ConfigRecVol, limpiar=False, verbose=False):
     )
     resultados = []
     pacientes = listar_pacientes(dataset_fold) if dataset_fold.is_dir() else []
+    # two phases: enqueue every patient's scatter, then fetch+write —
+    # the fetch of patient i overlaps the scatters of the rest
+    pendientes = []
     for pid in pacientes:
         try:
-            resultados.append(procesar_paciente_vol(pid, config))
+            pendientes.append((pid, despachar_paciente_vol(pid, config)))
+        except Exception as e:
+            logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
+    for pid, pendiente in pendientes:
+        if pendiente is None or pendiente is False:
+            resultados.append(pendiente)
+            continue
+        try:
+            resultados.append(finalizar_paciente_vol(pendiente))
         except Exception as e:
             logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
     estado = evaluate_results(resultados)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -37,7 +38,9 @@ def load_patient_volume(pid: str = "P39"):
     mask_p = DEMO_DS / pid / "T1" / f"{pid}_T1_MASK.nii.gz"
     if flair_p.exists():
         return nifti.load(flair_p).get_fdata(), nifti.load(mask_p).get_fdata()
-    rng = np.random.default_rng(hash(pid) % 2**31)
+    # deterministic digest (hash() is salted per process via PYTHONHASHSEED,
+    # which would change the synthetic input — and the number — every run)
+    rng = np.random.default_rng(zlib.crc32(pid.encode()))
     vol = rng.normal(500, 150, (182, 218, 182)).astype(np.float64)
     mask = np.zeros((182, 218, 182))
     mask[80:100, 100:130, 70:110] = 1

@@ -61,6 +61,10 @@ class Conv(nn.Module):
         # explicit cast keeps the f32 intermediate inside the XLA fusion —
         # without it every conv fusion materializes BOTH a bf16 and an
         # f32 copy of the activation (measured ~2x HBM write traffic).
+        # Deviation note: downstream residual adds/concats therefore run
+        # in bf16, whereas strict torch autocast keeps them f32 and casts
+        # only at the next conv input. Empirically benign (capacity DSC
+        # 0.834 > 0.808 anchor) and the HBM-traffic win is measured.
         return x.astype(self.dtype)
 
 

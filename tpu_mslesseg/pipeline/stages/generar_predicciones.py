@@ -26,6 +26,11 @@ from tpu_mslesseg.infer.predictor import SlicePredictor
 
 logger = get_logger(__file__)
 
+# max patients with device results in flight (dispatch/fetch pipeline):
+# deep enough to hide the tunnel round trip, shallow enough that
+# device-resident pending buffers stay bounded on full-dataset runs
+PIPELINE_DEPTH = 4
+
 _SLICE_RE = re.compile(r".*_(\d+)(?:_[^_]*)?\.png$")
 
 
@@ -157,23 +162,30 @@ def ejecutar_flujo_pred(config: ConfigPred, limpiar=False, verbose=False):
         if config.dataset_fold_dir.is_dir()
         else []
     )
-    # phase 1: enqueue every patient's fused program (async dispatch);
-    # phase 2: fetch + write PNGs — the fetch of patient i overlaps the
-    # device compute of patients i+1.. and the writes overlap everything
+    # pipelined dispatch/fetch: keep at most PIPELINE_DEPTH patients'
+    # device results pending — the fetch of patient i-k overlaps the
+    # device compute of patients i-k+1..i, while device-resident memory
+    # stays O(depth) instead of O(patients) (full-dataset runs have 53)
     pendientes = []
+
+    def _drenar(pid, pendiente):
+        if pendiente is None or pendiente is False:
+            resultados.append(pendiente)
+            return
+        try:
+            resultados.append(finalizar_paciente_predicciones(pendiente))
+        except Exception as e:
+            logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
+
     for pid in pacientes:
         try:
             pendientes.append((pid, despachar_paciente_predicciones(pid, config, cache)))
         except Exception as e:
             logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
+        if len(pendientes) > PIPELINE_DEPTH:
+            _drenar(*pendientes.pop(0))
     for pid, pendiente in pendientes:
-        if pendiente is None or pendiente is False:
-            resultados.append(pendiente)
-            continue
-        try:
-            resultados.append(finalizar_paciente_predicciones(pendiente))
-        except Exception as e:
-            logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
+        _drenar(pid, pendiente)
     estado = evaluate_results(resultados)
     log_fold_status(logger, estado, config.fold_test)
     return estado

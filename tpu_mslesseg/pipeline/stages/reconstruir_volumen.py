@@ -26,6 +26,9 @@ from tpu_mslesseg.preproc.slices import int_o_percentil
 
 logger = get_logger(__file__)
 
+# max patients with device results in flight (see generar_predicciones)
+PIPELINE_DEPTH = 4
+
 _IDX_RE = re.compile(r".*_(\d+)(?:_[^_]*)?\.png$")
 
 
@@ -135,22 +138,29 @@ def ejecutar_flujo_recvol(config: ConfigRecVol, limpiar=False, verbose=False):
     )
     resultados = []
     pacientes = listar_pacientes(dataset_fold) if dataset_fold.is_dir() else []
-    # two phases: enqueue every patient's scatter, then fetch+write —
-    # the fetch of patient i overlaps the scatters of the rest
+    # pipelined dispatch/fetch (depth-bounded): the fetch of patient i-k
+    # overlaps the scatters of i-k+1..i; pending device volumes stay
+    # O(depth) rather than O(patients) for full-dataset runs
     pendientes = []
+
+    def _drenar(pid, pendiente):
+        if pendiente is None or pendiente is False:
+            resultados.append(pendiente)
+            return
+        try:
+            resultados.append(finalizar_paciente_vol(pendiente))
+        except Exception as e:
+            logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
+
     for pid in pacientes:
         try:
             pendientes.append((pid, despachar_paciente_vol(pid, config)))
         except Exception as e:
             logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
+        if len(pendientes) > PIPELINE_DEPTH:
+            _drenar(*pendientes.pop(0))
     for pid, pendiente in pendientes:
-        if pendiente is None or pendiente is False:
-            resultados.append(pendiente)
-            continue
-        try:
-            resultados.append(finalizar_paciente_vol(pendiente))
-        except Exception as e:
-            logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
+        _drenar(pid, pendiente)
     estado = evaluate_results(resultados)
     log_fold_status(logger, estado, config.fold_test)
     return estado

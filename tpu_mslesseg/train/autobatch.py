@@ -47,7 +47,11 @@ _CACHE_PATH = Path(
     )
 )
 
-DEFAULT_BATCH = 32  # fallback when memory can't be determined
+DEFAULT_BATCH = 32  # fallback when memory can't be determined (CPU/testing)
+# accelerator with *unknown* capacity: a conservative batch that fits the
+# smallest chip in the table (8 GB v2) — falling back to 32 on an unlisted
+# TPU could OOM exactly where batch=-1 was supposed to be safe
+DEFAULT_BATCH_ACCEL = 8
 DEFAULT_FRACTION = float(
     os.environ.get("TPU_MSLESSEG_AUTOBATCH_FRACTION", "0.6")
 )  # Ultralytics autobatch target utilization
@@ -163,12 +167,22 @@ def auto_batch_size(
     dev = jax.devices()[0]
     hbm = device_hbm_bytes(dev)
     if hbm is None:
+        fallback = DEFAULT_BATCH if dev.platform == "cpu" else DEFAULT_BATCH_ACCEL
         logger.info(
             f"🤖 batch=-1: memoria del dispositivo desconocida "
-            f"({dev.device_kind}); usando batch={DEFAULT_BATCH}."
+            f"({dev.device_kind}); usando batch={fallback}."
         )
-        return DEFAULT_BATCH * n_data
+        return fallback * n_data
 
+    # the device-resident dataset is part of the peak estimate
+    # (_peak_bytes adds argument_size), so its footprint must key the
+    # cache too — a batch solved against the 2-patient demo pool must NOT
+    # be reused for the 53-patient --completo pool, where the resident
+    # dataset eats a big slice of the HBM budget
+    dset_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(train_set.as_dict())
+    )
     key = "|".join(
         str(v)
         for v in (
@@ -182,6 +196,7 @@ def auto_batch_size(
             cfg.amp,
             fraction,
             max_batch,
+            dset_bytes,
         )
     )
     cached = _cache_load().get(key)

@@ -1,11 +1,25 @@
 """Task-aligned label assignment (TAL), fixed-shape XLA version.
 
 Functional equivalent of the assigner Ultralytics uses for YOLO11 training
-(consumed by the reference through ``model.train``, SURVEY §2.2): for every
-ground-truth box, score anchors by ``cls_score**alpha * CIoU**beta``
-(alpha 0.5, beta 6.0), keep the top-10 whose centers fall inside the box,
-resolve multi-GT anchors by highest IoU, and emit soft target scores
-normalized per-GT by max-IoU/max-metric.
+(consumed by the reference through ``model.train``, SURVEY §2.2;
+ultralytics==8.3.70 pinned at ``/root/reference/requirements.txt``): for
+every ground-truth box, score anchors by ``cls_score**alpha * CIoU**beta``
+(alpha 0.5, beta 6.0), keep the top-10 per GT, resolve multi-GT anchors by
+highest IoU, and emit soft target scores normalized per-GT by
+max-IoU/max-metric.
+
+Semantics are differentially pinned against a literal NumPy transcription
+of upstream (``tests/ultralytics_np.py``, randomized cross-checks in
+``tests/test_parity_ultra.py``), including the upstream quirks:
+
+* top-k indices are masked by GT *validity* only — NOT by metric > eps —
+  so zero-metric in-box anchors can become foreground when a GT has fewer
+  than ``topk`` positive-metric anchors (common for tiny MS lesions early
+  in training); duplicate scatter counts (>1) are zeroed;
+* multi-claimed anchors are reassigned by argmax over the overlaps of ALL
+  GTs (not just the claiming ones), so an anchor can land on a GT that
+  never selected it via top-k;
+* ``bbox_iou``'s eps lands on h1/h2 and the union (upstream placement).
 
 Everything is dense masked math over [B, M, A] — no ragged shapes, no host
 sync — so the whole assignment fuses into the training step.
@@ -20,11 +34,13 @@ import jax.numpy as jnp
 
 
 def bbox_iou_ciou(box1, box2, eps: float = 1e-7):
-    """CIoU between broadcastable xyxy boxes (last dim 4)."""
+    """CIoU between broadcastable xyxy boxes (last dim 4). Bit-faithful to
+    ultralytics/utils/metrics.py::bbox_iou(xywh=False, CIoU=True): the
+    eps lands on h1/h2 (not w) and again on the union."""
     b1x1, b1y1, b1x2, b1y2 = jnp.split(box1, 4, axis=-1)
     b2x1, b2y1, b2x2, b2y2 = jnp.split(box2, 4, axis=-1)
-    w1, h1 = b1x2 - b1x1, b1y2 - b1y1
-    w2, h2 = b2x2 - b2x1, b2y2 - b2y1
+    w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+    w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
 
     inter_w = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0)
     inter_h = jnp.clip(jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0)
@@ -36,9 +52,7 @@ def bbox_iou_ciou(box1, box2, eps: float = 1e-7):
     ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
     c2 = cw**2 + ch**2 + eps
     rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
-    v = (4 / jnp.pi**2) * (
-        jnp.arctan(w2 / (h2 + eps)) - jnp.arctan(w1 / (h1 + eps))
-    ) ** 2
+    v = (4 / jnp.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
     alpha = v / (v - iou + (1 + eps))
     alpha = jax.lax.stop_gradient(alpha)
     ciou = iou - (rho2 / c2 + v * alpha)
@@ -75,10 +89,15 @@ def assign(
         & (gt_bboxes[..., 2:3] - px > eps)
         & (gt_bboxes[..., 3:4] - py > eps)
     )
+    valid = in_gt & gt_valid[:, :, None]
 
-    # overlaps and class scores per (gt, anchor)
-    overlaps = jnp.clip(
-        bbox_iou_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0
+    # overlaps and class scores per (gt, anchor) — upstream fills both only
+    # where in-gt & valid (zeros elsewhere), which the normalization below
+    # depends on for anchors reassigned outside their best GT's box
+    overlaps = jnp.where(
+        valid,
+        jnp.clip(bbox_iou_ciou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0),
+        0.0,
     )  # [B, M, A]
     cls_idx = jnp.clip(gt_labels, 0, nc - 1)  # [B, M]
     scores = jnp.take_along_axis(
@@ -86,29 +105,30 @@ def assign(
         cls_idx[:, :, None],
         axis=1,
     )  # [B, M, A]
-    align = (scores**alpha) * (overlaps**beta)
+    scores = jnp.where(valid, scores, 0.0)
+    align = (scores**alpha) * (overlaps**beta)  # zero outside valid
 
-    valid = in_gt & gt_valid[:, :, None]
-    align_masked = jnp.where(valid, align, 0.0)
-
-    # top-k anchors per GT by alignment metric
+    # top-k anchors per GT, faithful select_topk_candidates: indices of
+    # invalid GTs are masked to 0 (not dropped — their rows die at the
+    # mask_pos product), scatter counts accumulate, entries >1 are zeroed.
+    # There is NO metric>eps filter: a GT with fewer than topk
+    # positive-metric anchors pads its claims with zero-metric anchors
+    # (lowest-index tie-break, matching torch's sorts).
     k = min(topk, A)
-    topk_vals, topk_idx = jax.lax.top_k(align_masked, k)  # [B, M, k]
-    topk_ok = topk_vals > eps
-    mask_topk = jnp.zeros((B, M, A), bool)
-    mask_topk = jax.vmap(
-        jax.vmap(lambda m, idx, ok: m.at[idx].set(ok))
-    )(mask_topk, topk_idx, topk_ok)
-    mask_pos = mask_topk & valid  # [B, M, A]
-
-    # resolve anchors claimed by multiple GTs: keep the max-overlap GT
-    n_claims = mask_pos.sum(axis=1)  # [B, A]
-    best_gt_by_iou = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), axis=1)  # [B,A]
-    multi = (n_claims > 1)[:, None, :]  # [B,1,A]
-    is_best = (
-        jax.nn.one_hot(best_gt_by_iou, M, dtype=jnp.bool_).swapaxes(1, 2)
+    _, topk_idx = jax.lax.top_k(align, k)  # [B, M, k]
+    topk_idx = jnp.where(gt_valid[:, :, None], topk_idx, 0)
+    counts = jax.vmap(jax.vmap(lambda idx: jnp.zeros((A,), jnp.int32).at[idx].add(1)))(
+        topk_idx
     )  # [B, M, A]
-    mask_pos = jnp.where(multi, mask_pos & is_best, mask_pos)
+    mask_pos = (counts == 1) & valid  # [B, M, A]
+
+    # resolve anchors claimed by multiple GTs, faithful
+    # select_highest_overlaps: argmax over the (masked) overlaps of ALL
+    # GTs — the winner needn't be a claiming GT
+    n_claims = mask_pos.sum(axis=1)  # [B, A]
+    best_gt_by_iou = jnp.argmax(overlaps, axis=1)  # [B, A]
+    is_best = jax.nn.one_hot(best_gt_by_iou, M, dtype=jnp.bool_).swapaxes(1, 2)
+    mask_pos = jnp.where((n_claims > 1)[:, None, :], is_best, mask_pos)
 
     fg_mask = mask_pos.any(axis=1)  # [B, A]
     target_gt_idx = jnp.argmax(mask_pos, axis=1)  # [B, A]
@@ -117,7 +137,7 @@ def assign(
     tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # [B,A,4]
     tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # [B, A]
 
-    # normalized soft scores
+    # normalized soft scores (align/overlaps already masked to valid)
     align_pos = jnp.where(mask_pos, align, 0.0)
     pos_align = align_pos.max(axis=-1, keepdims=True)  # [B, M, 1]
     pos_overlap = jnp.where(mask_pos, overlaps, 0.0).max(axis=-1, keepdims=True)

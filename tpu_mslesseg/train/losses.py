@@ -47,7 +47,11 @@ def df_loss(pred_dist, target, reg_max: int = 16):
     tr = tl + 1
     wl = tr.astype(jnp.float32) - target
     wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
+    # promote (not cast): bf16 -> f32 under AMP, but f64 stays f64 so the
+    # differential parity tests compare at full precision
+    logp = jax.nn.log_softmax(
+        pred_dist.astype(jnp.promote_types(pred_dist.dtype, jnp.float32)), axis=-1
+    )
     ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
     ce_r = -jnp.take_along_axis(
         logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1
@@ -172,10 +176,12 @@ def segmentation_loss(
             ).astype(jnp.float32)
             bce = optax_sigmoid_bce(pred, gt_masks) * in_box
             # cropped-BCE mean over the map / box area *fraction*
-            # == cropped-BCE sum / box area in proto pixels
-            area = jnp.maximum(
-                (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1]), 1.0
-            )
+            # == cropped-BCE sum / box area in proto pixels. NO area
+            # clamping (upstream divides by the exact normalized area —
+            # sub-proto-pixel lesions are up-weighted accordingly); padded
+            # slots get a dummy area of 1 so the masked division is finite
+            area = (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1])
+            area = jnp.where(valid_c > 0, area, 1.0)
             return (bce.sum(axis=(2, 3)) / area * valid_c).sum()
 
         # the false branch derives its zero from the inputs so both
@@ -197,16 +203,15 @@ def segmentation_loss(
     n_fg = jnp.maximum(fg.sum(), 1.0)
     loss_seg = chunk_sums.sum() / n_fg
 
-    total = (
-        cfg.box_gain * loss_box
-        + cfg.box_gain * loss_seg
-        + cfg.cls_gain * loss_cls
-        + cfg.dfl_gain * loss_dfl
-    ) * B
-    return total, {
-        "box": loss_box,
-        "seg": loss_seg,
-        "cls": loss_cls,
-        "dfl": loss_dfl,
-        "fg_count": fg.sum(),
+    # components are the GAIN-SCALED detached items (what Ultralytics logs
+    # to results.csv: train/box_loss is box*hyp.box, seg gain is hyp.box
+    # with NO batch division — confirmed against the reference's logged
+    # magnitudes); total is loss.sum() * batch_size, the backprop value
+    parts = {
+        "box": cfg.box_gain * loss_box,
+        "seg": cfg.box_gain * loss_seg,
+        "cls": cfg.cls_gain * loss_cls,
+        "dfl": cfg.dfl_gain * loss_dfl,
     }
+    total = (parts["box"] + parts["seg"] + parts["cls"] + parts["dfl"]) * B
+    return total, {**parts, "fg_count": fg.sum()}

@@ -95,3 +95,31 @@ def test_lote_matches_per_patient_calls():
     np.testing.assert_array_equal(np.asarray(cons[1]), np.asarray(cons_b))
     for p in PLANES:
         assert vols[p].shape == (2,) + VOL_SHAPE
+
+
+def test_lote_sharded_matches_unsharded():
+    """SPMD serving (VERDICT r2 #3): the lote program with the patient
+    slice axis sharded over 'data' (8 virtual devices, N=3 -> padded to 8
+    with OOB scatter indices) produces the same counts/consensus/volumes
+    as the unsharded program."""
+    from tpu_mslesseg.core import mesh as meshlib
+
+    model, variables, slices, idx, gt = _setup()
+    slices2 = {p: jnp.flip(s, axis=1) for p, s in slices.items()}
+    sl = {p: jnp.stack([slices[p], slices2[p]]) for p in PLANES}
+    ix = {p: jnp.stack([idx[p], idx[p]]) for p in PLANES}
+    gts = jnp.stack([gt, gt])
+
+    cp0 = ConsensusPredictor(model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ)
+    c0, v0, vols0 = cp0.lote(sl, ix, gts)
+
+    mesh = meshlib.make_mesh()  # all 8 virtual CPU devices, pure data axis
+    cpm = ConsensusPredictor(
+        model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ, mesh=mesh
+    )
+    cm, vm, volsm = cpm.lote(sl, ix, gts)
+
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(cm))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(vm))
+    for p in PLANES:
+        np.testing.assert_array_equal(np.asarray(vols0[p]), np.asarray(volsm[p]))

@@ -67,9 +67,20 @@ class ConsensusPredictor:
         umbral: int = 2,
         mask_thresh: float = 0.0,
         platform: str | None = None,
+        mesh=None,
     ):
         self.model = model
         self.platform = platform
+        self.mesh = mesh
+        if mesh is not None:
+            # SPMD serving (SURVEY §2.3 data-parallel mandate covers
+            # inference too): params replicated over the mesh, slice
+            # batches sharded over 'data' at the call sites — XLA
+            # propagates the sharding through the fused program and
+            # inserts the collectives for the volume scatters/counts
+            from tpu_mslesseg.core import mesh as meshlib
+
+            variables = jax.device_put(variables, meshlib.replicated(mesh))
         self.variables = variables
         self.vol_shape = tuple(vol_shape)
         self.mejora = mejora
@@ -182,11 +193,36 @@ class ConsensusPredictor:
     def lote(self, slices, idx, gts):
         """Batch of patients in ONE dispatch: `slices[p]` [P, N, h, w],
         `idx[p]` [P, N], `gts` [P, X, Y, Z]. Returns per-patient
-        (counts [P,4], consensus [P,...], vols {plane: [P,...]})."""
+        (counts [P,4], consensus [P,...], vols {plane: [P,...]}).
+
+        With a mesh, the per-patient slice axis is sharded over 'data'
+        (padded to the axis size with out-of-bounds scatter indices, which
+        XLA drops — results are identical to the unsharded program)."""
+        slices, idx = dict(slices), dict(idx)
         for p in PLANES:
             h, w = geometry.slice_shape(self.vol_shape, p)
             assert slices[p].shape[2:] == (h, w), (p, slices[p].shape)
-        return self._jitted_lote(self.variables, dict(slices), dict(idx), gts)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tpu_mslesseg.core import mesh as meshlib
+
+            n_data = int(self.mesh.shape[meshlib.DATA_AXIS])
+            sh = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+            for p in PLANES:
+                n = slices[p].shape[1]
+                pad = meshlib.pad_to_multiple(n, n_data) - n
+                if pad:
+                    slices[p] = jnp.pad(slices[p], ((0, 0), (0, pad), (0, 0), (0, 0)))
+                    # OOB index: the padded slices' scatter updates drop
+                    idx[p] = jnp.pad(
+                        idx[p], ((0, 0), (0, pad)),
+                        constant_values=max(self.vol_shape),
+                    )
+                slices[p] = jax.device_put(slices[p], sh)
+                idx[p] = jax.device_put(idx[p], sh)
+            gts = jax.device_put(gts, meshlib.replicated(self.mesh))
+        return self._jitted_lote(self.variables, slices, idx, gts)
 
     @staticmethod
     def metrics_from_counts(counts) -> dict:

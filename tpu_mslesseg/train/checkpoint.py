@@ -30,15 +30,27 @@ def save_checkpoint(path, state, include_opt: bool = False):
     }
     if include_opt:
         payload["opt_state"] = state.opt_state
+    from tpu_mslesseg.core import distributed
+
     tmp = path.with_name(path.name + ".tmp")
-    if tmp.exists():
+    # multi-host: orbax's save is collective (every process writes its
+    # addressable shards into tmp), but the filesystem swap must happen
+    # exactly once — process 0, fenced by barriers so (a) the pre-clean
+    # precedes any shard write, (b) all writes land before the swap,
+    # (c) the swap is visible everywhere before anyone reads `path`.
+    # Single-process: barriers are no-ops, behavior unchanged.
+    if distributed.is_main_process() and tmp.exists():
         shutil.rmtree(tmp)
+    distributed.barrier("ckpt-preclean")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(tmp, payload)
     ckptr.wait_until_finished()
-    if path.exists():
-        shutil.rmtree(path)
-    tmp.rename(path)
+    distributed.barrier("ckpt-written")
+    if distributed.is_main_process():
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+    distributed.barrier("ckpt-swapped")
 
 
 def load_checkpoint(path, template=None):

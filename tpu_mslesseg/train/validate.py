@@ -100,25 +100,21 @@ def make_val_step(model, loss_cfg: LossConfig, max_det: int = 300,
     return step
 
 
-def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
-                   batch_size: int = 16, imgsz: int = 640, step=None,
-                   mesh=None, return_acc: bool = False):
-    """Full val pass -> (val_metrics dict for results.csv, val_losses dict).
-
-    Pass a cached `step` from `make_val_step` when validating repeatedly —
-    rebuilding it per call recompiles the whole val program. With a mesh,
-    variables/dataset are replicated and each val batch shards over the
-    'data' axis (the NMS+match program runs SPMD)."""
+def dispatch_validation(model, variables, val_dset, loss_cfg: LossConfig,
+                        batch_size: int = 16, imgsz: int = 640, step=None,
+                        mesh=None):
+    """Enqueue the whole val pass (async dispatch, NO host sync) and
+    return the pending device results — a pytree of arrays. Callers fetch
+    with ONE `jax.device_get` (combining several folds' pendings into a
+    single fetch if desired) and finish with `collect_validation`."""
     acfg = val_aug_config(val_dset.max_inst, imgsz)
     if step is None:
         step = make_val_step(model, loss_cfg)
-    acc = seg_map.SegMapAccumulator()
     n = len(val_dset)
     dd = val_dset.as_dict()
-    loss_sums, n_batches = {}, 0
     key = jax.random.PRNGKey(0)
 
-    repl_sh = data_sh = None
+    data_sh = None
     if mesh is not None:
         from tpu_mslesseg.core import mesh as meshlib
 
@@ -128,10 +124,6 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
         dd = jax.device_put(dd, repl_sh)
         key = jax.device_put(key, repl_sh)
 
-    # dispatch every batch first, fetch once: jax dispatch is async, so
-    # the single device_get at the end overlaps all batches' compute and
-    # pays ONE host sync for the whole val pass (a per-batch fetch cost a
-    # tunnel round trip per 16 slices)
     pending = []
     for start in range(0, n - n % batch_size + (batch_size if n % batch_size else 0), batch_size):
         idx_np = np.arange(start, min(start + batch_size, n))
@@ -145,9 +137,17 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
             idx = jax.device_put(idx, data_sh)
         batch = augment.make_batch(key, dd, idx, acfg)
         losses, match = step(variables, batch)
-        n_batches += 1
         pending.append((real, {**losses, **match, "valid": batch["valid"]}))
-    for real, fetched in jax.device_get(pending):
+    return pending
+
+
+def collect_validation(fetched_pending, return_acc: bool = False):
+    """Host-side accumulation over an already-fetched pending structure
+    (the output of `jax.device_get(dispatch_validation(...))`)."""
+    acc = seg_map.SegMapAccumulator()
+    loss_sums, n_batches = {}, 0
+    for real, fetched in fetched_pending:
+        n_batches += 1
         for k in loss_sums.keys() | fetched.keys() - {
             "scores", "keep", "tp_b", "tp_m", "valid"
         }:
@@ -158,9 +158,27 @@ def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
                 fetched["tp_b"][b], fetched["tp_m"][b],
                 int(fetched["valid"][b].sum()),
             )
-
     metrics = acc.compute()
     val_losses = {k: v / max(n_batches, 1) for k, v in loss_sums.items()}
     if return_acc:  # curve plotting needs the raw score/TP arrays
         return metrics, val_losses, acc
     return metrics, val_losses
+
+
+def run_validation(model, variables, val_dset, loss_cfg: LossConfig,
+                   batch_size: int = 16, imgsz: int = 640, step=None,
+                   mesh=None, return_acc: bool = False):
+    """Full val pass -> (val_metrics dict for results.csv, val_losses dict).
+
+    Pass a cached `step` from `make_val_step` when validating repeatedly —
+    rebuilding it per call recompiles the whole val program. With a mesh,
+    variables/dataset are replicated and each val batch shards over the
+    'data' axis (the NMS+match program runs SPMD).
+
+    Dispatch is async and the fetch is ONE device_get for the whole pass
+    (a per-batch fetch cost a tunnel round trip per 16 slices)."""
+    pending = dispatch_validation(
+        model, variables, val_dset, loss_cfg,
+        batch_size=batch_size, imgsz=imgsz, step=step, mesh=mesh,
+    )
+    return collect_validation(jax.device_get(pending), return_acc=return_acc)

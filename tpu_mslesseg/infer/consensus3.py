@@ -68,9 +68,17 @@ class ConsensusPredictor:
         mask_thresh: float = 0.0,
         platform: str | None = None,
         mesh=None,
+        planes=PLANES,
+        per_plane_counts: bool = False,
     ):
         self.model = model
         self.platform = platform
+        self.planes = tuple(planes)
+        self.per_plane_counts = per_plane_counts
+        if len(self.planes) != 3 and not per_plane_counts:
+            raise ValueError(
+                "sin los tres planos no hay consenso: use per_plane_counts=True"
+            )
         self.mesh = mesh
         if mesh is not None:
             # SPMD serving (SURVEY §2.3 data-parallel mandate covers
@@ -91,7 +99,7 @@ class ConsensusPredictor:
         self.umbral = umbral
         self.mask_thresh = mask_thresh
         self.lb = {}
-        for p in PLANES:
+        for p in self.planes:
             h, w = geometry.slice_shape(self.vol_shape, p)
             # PNG-space (model) dims are transposed volume-slice dims
             self.lb[p] = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
@@ -105,35 +113,66 @@ class ConsensusPredictor:
         self._jitted_lote = jax.jit(self._run_lote)
 
     def _union_logits(self, variables, slices):
-        """Enhance + letterbox each plane's slice batch, run ONE
-        concatenated forward + NMS + proto-mask union. Returns
-        (union [sum(M), mh, mw] logits, per-plane batch sizes)."""
-        reg_max = self.model.cfg.reg_max
-        ns = []
-        xs = []
-        for p in PLANES:
-            img_u8 = enhance.enhance_for_model(slices[p], self.mejora)
-            png = geometry.to_png_space_batch(img_u8).astype(jnp.float32) / 255.0
-            xs.append(self.lb[p].apply(png))
-            ns.append(slices[p].shape[0])
-        x = jnp.concatenate(xs, axis=0)
-        # cast to the model's compute dtype BEFORE the 3-channel repeat:
-        # the first conv casts anyway (numerics unchanged), but doing it
-        # here halves the HBM footprint of the [sum(M), S, S, 3] input
-        x = x.astype(self.model.dtype)
-        x = jnp.repeat(x[..., None], 3, axis=-1)  # [sum(M), S, S, 3]
+        """Enhance + letterbox each plane's slice batch, run the forward +
+        NMS + proto-mask union, all in the enclosing jit. Returns
+        (union [sum(n_mod*N), mh, mw] logits, segments: list of
+        (plane, n_mod, N)).
 
-        out = self.model.apply(variables, x, train=False)
-        box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
+        `variables` may be one shared pytree (a single concatenated
+        forward — the serving/bench fast case) or {plane: pytree} (the
+        product case: each anatomical plane was trained separately,
+        reference ``ejecutar_pipeline.py`` runs one experiment per plane).
+        `slices[p]` may be [N, h, w] or {modalidad: [N, h, w]} — each
+        modality predicts separately and the binary masks union, exactly
+        like the stage chain (``generar_predicciones.py`` multimodal
+        loop)."""
+        reg_max = self.model.cfg.reg_max
+        per_plane_vars = isinstance(variables, dict) and "params" not in variables
+        segs = []
+        xs_by_plane = []
+        for p in self.planes:
+            mods = slices[p] if isinstance(slices[p], dict) else {None: slices[p]}
+            xs = []
+            n = None
+            for sl in mods.values():
+                img_u8 = enhance.enhance_for_model(sl, self.mejora)
+                png = geometry.to_png_space_batch(img_u8).astype(jnp.float32) / 255.0
+                xs.append(self.lb[p].apply(png))
+                n = sl.shape[0]
+            x = jnp.concatenate(xs, axis=0)
+            # cast to the model's compute dtype BEFORE the 3-channel
+            # repeat: the first conv casts anyway (numerics unchanged),
+            # but doing it here halves the HBM footprint of the input
+            x = x.astype(self.model.dtype)
+            x = jnp.repeat(x[..., None], 3, axis=-1)  # [n_mod*N, S, S, 3]
+            xs_by_plane.append(x)
+            segs.append((p, len(mods), n))
+
+        if per_plane_vars:
+            outs = [
+                self.model.apply(variables[p], x, train=False)
+                for (p, _, _), x in zip(segs, xs_by_plane)
+            ]
+            cat = lambda key: jnp.concatenate([o[key] for o in outs], axis=0)
+            flat = [dec.flatten_level_outputs(o, reg_max) for o in outs]
+            box_d = jnp.concatenate([f[0] for f in flat], axis=0)
+            cls_l = jnp.concatenate([f[1] for f in flat], axis=0)
+            mcoef = jnp.concatenate([f[2] for f in flat], axis=0)
+            proto = cat("proto")
+        else:
+            x = jnp.concatenate(xs_by_plane, axis=0)
+            out = self.model.apply(variables, x, train=False)
+            box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
+            proto = out["proto"]
         anchors, strides = dec.make_anchors(self.imgsz, self.imgsz)
         boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
         scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
         nb, _, keep, kidx = nms_batch(boxes, scores, self.conf, self.iou, self.max_det)
         kept_coef = jnp.take_along_axis(mcoef, kidx[..., None], axis=1)
         union = mask_union_logits_batch(
-            out["proto"], kept_coef, nb, keep, platform=self.platform
+            proto, kept_coef, nb, keep, platform=self.platform
         )
-        return union, ns
+        return union, segs
 
     def _plane_masks(self, union_p, plane):
         """Union logits [M, mh, mw] -> volume-space binary slices [M, h, w]
@@ -146,30 +185,39 @@ class ConsensusPredictor:
         return geometry.from_png_space_batch(png_masks > self.mask_thresh)
 
     def _run(self, variables, slices, idx, gt):
-        union, ns = self._union_logits(variables, slices)
+        union, segs = self._union_logits(variables, slices)
         vols = {}
         start = 0
-        for p, n in zip(PLANES, ns):
-            masks = self._plane_masks(union[start : start + n], p)
-            start += n
+        for p, n_mod, n in segs:
+            masks = self._plane_masks(union[start : start + n_mod * n], p)
+            start += n_mod * n
+            if n_mod > 1:  # multimodal: binary-mask union across modalities
+                masks = masks.reshape((n_mod, n) + masks.shape[1:]).any(axis=0)
             vols[p] = geometry.insert_slices(
                 self.vol_shape, masks.astype(jnp.float32), p, idx[p]
             )
-        cons = consensus_vote(
-            vols["axial"], vols["coronal"], vols["sagital"], self.umbral
-        )
-        counts = mx._confusion_counts(gt, cons)
+        cons = None
+        if len(self.planes) == 3:
+            cons = consensus_vote(
+                vols["axial"], vols["coronal"], vols["sagital"], self.umbral
+            )
+        if self.per_plane_counts:
+            counts = {p: mx._confusion_counts(gt, vols[p]) for p in vols}
+            if cons is not None:
+                counts["consenso"] = mx._confusion_counts(gt, cons)
+        else:
+            counts = mx._confusion_counts(gt, cons)
         return counts, cons, vols
 
     def _run_lote(self, variables, slices, idx, gts):
         n_pat = gts.shape[0]
         flat = {
-            p: slices[p].reshape((-1,) + slices[p].shape[2:]) for p in PLANES
+            p: slices[p].reshape((-1,) + slices[p].shape[2:]) for p in self.planes
         }
-        union, ns = self._union_logits(variables, flat)
+        union, segs = self._union_logits(variables, flat)
         vols = {}
         start = 0
-        for p, n in zip(PLANES, ns):
+        for p, _, n in segs:
             masks = self._plane_masks(union[start : start + n], p)
             start += n
             masks = masks.reshape((n_pat, -1) + masks.shape[1:])
@@ -185,10 +233,18 @@ class ConsensusPredictor:
         return counts, cons, vols
 
     def __call__(self, slices, idx, gt):
-        for p in PLANES:
-            h, w = geometry.slice_shape(self.vol_shape, p)
-            assert slices[p].shape[1:] == (h, w), (p, slices[p].shape)
-        return self._jitted(self.variables, dict(slices), dict(idx), gt)
+        for p in self.planes:
+            sl = slices[p]
+            for arr in (sl.values() if isinstance(sl, dict) else [sl]):
+                h, w = geometry.slice_shape(self.vol_shape, p)
+                assert arr.shape[1:] == (h, w), (p, arr.shape)
+        to_d = lambda v: dict(v) if isinstance(v, dict) else v
+        return self._jitted(
+            self.variables,
+            {p: to_d(slices[p]) for p in self.planes},
+            {p: idx[p] for p in self.planes},
+            gt,
+        )
 
     def lote(self, slices, idx, gts):
         """Batch of patients in ONE dispatch: `slices[p]` [P, N, h, w],
@@ -199,7 +255,7 @@ class ConsensusPredictor:
         (padded to the axis size with out-of-bounds scatter indices, which
         XLA drops — results are identical to the unsharded program)."""
         slices, idx = dict(slices), dict(idx)
-        for p in PLANES:
+        for p in self.planes:
             h, w = geometry.slice_shape(self.vol_shape, p)
             assert slices[p].shape[2:] == (h, w), (p, slices[p].shape)
         if self.mesh is not None:
@@ -209,7 +265,7 @@ class ConsensusPredictor:
 
             n_data = int(self.mesh.shape[meshlib.DATA_AXIS])
             sh = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
-            for p in PLANES:
+            for p in self.planes:
                 n = slices[p].shape[1]
                 pad = meshlib.pad_to_multiple(n, n_data) - n
                 if pad:

@@ -70,8 +70,13 @@ def ejecutar_pipeline(
     umbral_consenso: int = 2,
     train_cfg=None,
     train_paralelo: bool = True,
+    rapido: bool = False,
 ):
-    """Full pipeline for one experiment config (or one patient)."""
+    """Full pipeline for one experiment config (or one patient).
+
+    ``rapido`` (patient mode): serve stages 3-6 through the fused
+    single-program path (pipeline/rapido.py) instead of the per-stage
+    chain — same artifacts minus the prediction-PNG intermediates."""
     from tpu_mslesseg.core.profiling import stage_timer
 
     # Stage 0: dataset setup
@@ -119,6 +124,21 @@ def ejecutar_pipeline(
                     modelo, epochs=epochs, fold_test=k, limpiar=limpiar,
                     train_cfg=train_cfg,
                 )
+
+    # Patient fast path: stages 3-6 as ONE fused device program (volumes +
+    # metrics straight off the chip; falls back to the stage chain when a
+    # precondition is missing)
+    if rapido and paciente is not None:
+        from tpu_mslesseg.pipeline import rapido as rapido_mod
+
+        with stage_timer("rapido"):
+            ok = rapido_mod.ejecutar_paciente_rapido(
+                modelo, paciente, epochs=epochs, k_folds=modelo.k_folds,
+                umbral=umbral_consenso,
+            )
+        if ok:
+            logger.header("\n🏁 Pipeline completado (vía rápida).")
+            return
 
     # Stages 3-4: prediction + reconstruction
     for k in folds:
@@ -201,6 +221,13 @@ def parsear_args(argv=None):
              "en un solo programa SPMD sobre el mesh fold-parallel).",
     )
     parser.add_argument("--limpiar", action="store_true")
+    parser.add_argument(
+        "--rapido", action="store_true",
+        help="(modo paciente) Servir predicción+reconstrucción+consenso+"
+             "evaluación como UN programa fusionado en el acelerador "
+             "(~3100 cortes/s/chip); mismos artefactos sin los PNG "
+             "intermedios.",
+    )
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
 
 
@@ -228,6 +255,7 @@ def main(argv=None):
             entrenar=args.entrenar, limpiar=args.limpiar,
             umbral_consenso=args.umbral_consenso,
             train_paralelo=not args.train_secuencial,
+            rapido=args.rapido,
         )
     except Exception as e:
         logger.error(f"❌ Error en el pipeline: {e}")

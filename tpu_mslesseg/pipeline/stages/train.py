@@ -61,7 +61,10 @@ def ejecutar_flujo_train(
         modalidad=config.modelo.modalidad,
     )
 
-    cfg = train_cfg or TrainConfig(epochs=config.epochs)
+    # stage default is batch=-1 (reference parity, train.py:358-366):
+    # the demo's 640^2 epoch program OOMs 16G chips at the bare
+    # TrainConfig default of 32 once the pool passes the shrink guard
+    cfg = train_cfg or TrainConfig(epochs=config.epochs, batch_size=-1)
     model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
     patients = listar_pacientes(config.dataset_entrada)
 
@@ -174,7 +177,7 @@ def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
         num_cortes=modelo.num_cortes, input_dir=config.dataset_entrada,
         plano=modelo.plano, modalidad=modelo.modalidad,
     )
-    cfg = train_cfg or TrainConfig(epochs=epochs)
+    cfg = train_cfg or TrainConfig(epochs=epochs, batch_size=-1)
     model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
     return engine_parallel.train_folds_parallel(
         model=model,

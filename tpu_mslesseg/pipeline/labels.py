@@ -36,11 +36,18 @@ def trace_boundary(mask: np.ndarray) -> list:
         return [(i, j)]
 
     boundary = [(i, j)]
-    # backtrack direction: came from the west
+    # backtrack direction: came from the west (safe: the start is the
+    # topmost-leftmost pixel, nothing lies W/NW/N/NE of it)
     prev_dir = 0
     cur = (i, j)
+    start_state = (cur, prev_dir)
     H, W = mask.shape
-    for _ in range(4 * len(rows) + 8):
+    # stop on Jacobi's criterion: the trace is closed when the START pixel
+    # is re-entered from the SAME backtrack direction as the initial state
+    # — stopping at the first mere revisit cuts off branches that hang off
+    # the start pixel (caught by the upstream-converter golden on a
+    # speckle component; cv2's border following keeps those arms)
+    for _ in range(8 * len(rows) + 8):
         found = False
         # search neighbors clockwise starting just after the backtrack
         for d in range(8):
@@ -48,12 +55,12 @@ def trace_boundary(mask: np.ndarray) -> list:
             di, dj = _NEIGH[k]
             ni, nj = cur[0] + di, cur[1] + dj
             if 0 <= ni < H and 0 <= nj < W and mask[ni, nj]:
-                if (ni, nj) == boundary[0] and len(boundary) > 2:
-                    return boundary
-                boundary.append((ni, nj))
                 cur = (ni, nj)
                 # new backtrack: the direction pointing back whence we came
                 prev_dir = (k + 4) % 8
+                if (cur, prev_dir) == start_state:
+                    return boundary
+                boundary.append(cur)
                 found = True
                 break
         if not found:
@@ -67,10 +74,29 @@ def mask_to_polygons(mask: np.ndarray) -> list:
     labeled, n = ndimage.label(mask > 0, structure=np.ones((3, 3), int))
     polys = []
     for comp in range(1, n + 1):
-        b = trace_boundary(labeled == comp)
-        if len(b) >= 3:
-            polys.append(b)
+        sel = labeled == comp
+        # upstream's `len(contour) >= 3` guard counts CHAIN_APPROX_SIMPLE
+        # vertices, which compress any 1-px-wide straight run to its two
+        # endpoints — so 1-px, 2-px AND straight-line components of any
+        # length produce <3 points and are dropped from the label file
+        # (pinned against the transcribed converter in
+        # tests/test_labels_golden.py). Equivalent component-level rule:
+        # drop iff all pixels are collinear.
+        if _all_collinear(sel):
+            continue
+        b = trace_boundary(sel)
+        polys.append(b)
     return polys
+
+
+def _all_collinear(sel: np.ndarray) -> bool:
+    ys, xs = np.nonzero(sel)
+    d = np.stack([ys - ys[0], xs - xs[0]], 1)
+    nz = d[np.any(d != 0, axis=1)]
+    if len(nz) == 0:
+        return True  # single pixel
+    ref = nz[0]
+    return bool(np.all(d[:, 0] * ref[1] - d[:, 1] * ref[0] == 0))
 
 
 def write_yolo_seg_label(mask: np.ndarray, out_path, cls: int = 0):

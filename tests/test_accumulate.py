@@ -1,0 +1,126 @@
+"""Gradient accumulation to the nominal batch (nbs=64) + per-group
+warmup — the reference's effective-batch semantics (args.yaml: nbs 64,
+warmup_bias_lr 0.1; upstream accumulates round(nbs/batch) micro-batches
+per optimizer step and scales weight decay by batch*accumulate/nbs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_mslesseg.train import trainer
+from tpu_mslesseg.train.trainer import TrainConfig
+
+
+def test_accumulate_steps_formula():
+    assert trainer.accumulate_steps(TrainConfig(batch_size=64)) == 1
+    assert trainer.accumulate_steps(TrainConfig(batch_size=12)) == 5
+    assert trainer.accumulate_steps(TrainConfig(batch_size=8)) == 8
+    assert trainer.accumulate_steps(TrainConfig(batch_size=128)) == 1
+
+
+def test_warmup_floor_and_bias_start():
+    cfg = TrainConfig(epochs=50, batch_size=64)
+    spe = 10  # 3*10 < 100 -> floor kicks in (upstream max(round(3nb),100))
+    sched = trainer.lr_schedule(cfg, spe)
+    sched_b = trainer.lr_schedule(cfg, spe, start=cfg.warmup_bias_lr)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched_b(0)), 0.1, rtol=1e-6)
+    # halfway through the 100-step warmup window (upstream interpolates
+    # toward lr0*lf(CURRENT epoch) — step 50 at spe=10 is epoch 5)
+    lf5 = (1.0 - 5 / 50) * (1 - cfg.lrf) + cfg.lrf
+    np.testing.assert_allclose(
+        float(sched(50)), cfg.lr0 * lf5 * 0.5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(sched_b(50)), 0.1 * 0.5 + cfg.lr0 * lf5 * 0.5, rtol=1e-5
+    )
+    # past warmup both collapse onto the epoch schedule
+    step = 120 * spe // spe * spe  # epoch 120? keep inside: use step 990
+    np.testing.assert_allclose(float(sched(990)), float(sched_b(990)), rtol=1e-6)
+
+
+def test_reference_lr_trace_anchors():
+    """The logged lr values of the reference run (results.csv lr/pg0):
+    6.6e-4 at epoch 1 end, 5.96e-5 at epoch 50 — nb=172 batches/epoch."""
+    cfg = TrainConfig(epochs=50, batch_size=12)
+    spe = 172
+    sched = trainer.lr_schedule(cfg, spe)
+    np.testing.assert_allclose(float(sched(spe - 1)), 0.000662835, atol=2e-6)
+    np.testing.assert_allclose(float(sched(50 * spe - 1)), 5.96e-5, atol=2e-7)
+
+
+def _tiny_params():
+    return {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))}}
+
+
+def test_first_apply_lr_per_group():
+    """adamw's first update magnitude ~= lr; the bias group must move at
+    the warmup_bias_lr-dominated rate, the kernels at the near-zero
+    warmup rate, both evaluated at the APPLY micro-step (acc-1)."""
+    cfg = TrainConfig(epochs=50, batch_size=8)  # acc = 8
+    spe = 100
+    tx, sched = trainer.make_optimizer(cfg, spe)
+    acc = trainer.accumulate_steps(cfg)
+    params = _tiny_params()
+    opt = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(g, opt, params)
+    lr_bias = float(trainer.lr_schedule(cfg, spe, cfg.warmup_bias_lr)(acc - 1))
+    lr_rest = float(sched(acc - 1))
+    np.testing.assert_allclose(
+        float(jnp.abs(updates["dense"]["bias"]).mean()), lr_bias, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(jnp.abs(updates["dense"]["kernel"]).mean()), lr_rest, rtol=2e-3
+    )
+    assert lr_bias > 50 * lr_rest  # the 0.1 bias warmup dominates early
+
+
+def test_step_applies_only_every_accumulate():
+    """Params/EMA/opt move ONLY on the acc-th micro step; the
+    accumulation carry holds the summed gradients in between."""
+    from tpu_mslesseg.model.yolo11 import create_model
+    from tpu_mslesseg.train import augment, data as tdata
+
+    cfg = TrainConfig(
+        epochs=2, batch_size=16, imgsz=64, max_fg=8, close_mosaic=0, nbs=32
+    )  # acc = 2
+    model, _ = create_model(nc=1, scale="n")
+    state = trainer.init_train_state(model, cfg, steps_per_epoch=4)
+    step = trainer.make_train_step(model, cfg, steps_per_epoch=4)
+
+    rng = np.random.default_rng(0)
+    acfg = augment.AugConfig(imgsz=64, max_inst=4, mosaic=False)
+    dd = {
+        "images": jnp.asarray(rng.integers(0, 255, (8, 48, 40)), jnp.uint8),
+        "instmaps": jnp.asarray(
+            np.where(rng.random((8, 48, 40)) > 0.9, 1, 0).astype(np.uint8)
+        ),
+        "boxes": jnp.asarray(
+            np.tile(np.array([5, 5, 30, 30], np.float32), (8, 4, 1))
+        ),
+        "valid": jnp.asarray(np.tile([True, False, False, False], (8, 1))),
+    }
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (cfg.batch_size, 4), 0, 8)
+    batch = augment.make_batch(key, dd, idx, acfg)
+
+    p0 = jax.device_get(state.params)
+    s1, _ = step(state, batch)
+    # micro step 1 of 2: nothing applied, gradient carried
+    chex = jax.tree_util.tree_map(np.array_equal, p0, jax.device_get(s1.params))
+    assert all(jax.tree_util.tree_leaves(chex))
+    ga = jax.device_get(s1.grad_accum)
+    assert any(float(np.abs(x).sum()) > 0 for x in jax.tree_util.tree_leaves(ga))
+
+    s2, _ = step(s1, batch)
+    # micro step 2: apply fires, carry zeroed
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.array_equal(a, b), p0, jax.device_get(s2.params)
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
+    ga2 = jax.device_get(s2.grad_accum)
+    assert all(float(np.abs(x).sum()) == 0 for x in jax.tree_util.tree_leaves(ga2))

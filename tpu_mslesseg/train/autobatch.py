@@ -194,6 +194,7 @@ def auto_batch_size(
             acfg.max_inst,
             cfg.max_fg,  # sizes the mask-loss chunks
             cfg.amp,
+            getattr(cfg, "remat", False),  # remat halves the peak
             fraction,
             max_batch,
             dset_bytes,

@@ -30,6 +30,11 @@ def save_checkpoint(path, state, include_opt: bool = False):
     }
     if include_opt:
         payload["opt_state"] = state.opt_state
+        # the gradient-accumulation carry: without it a resume would
+        # restart the nbs-accumulation window and diverge bitwise from
+        # the uninterrupted run whenever steps_per_epoch % accumulate != 0
+        if getattr(state, "grad_accum", None) is not None:
+            payload["grad_accum"] = state.grad_accum
     from tpu_mslesseg.core import distributed
 
     tmp = path.with_name(path.name + ".tmp")

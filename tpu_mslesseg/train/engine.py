@@ -149,6 +149,7 @@ def train_fold(
             "ema_params": state.ema_params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
+            "grad_accum": state.grad_accum,
         }
         try:
             restored = checkpoint.load_checkpoint(last_ckpt, template)
@@ -158,6 +159,7 @@ def train_fold(
                 ema_params=restored["ema_params"],
                 opt_state=restored["opt_state"],
                 step=jnp.asarray(restored["step"]),
+                grad_accum=restored["grad_accum"],
             )
             start_epoch = int(restored["step"]) // steps_per_epoch + 1
             logger.info(f"🔁 Reanudando desde la época {start_epoch} (last.ckpt).")

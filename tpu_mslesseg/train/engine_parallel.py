@@ -143,6 +143,7 @@ def train_folds_parallel(
             "ema_params": state.ema_params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
+            "grad_accum": state.grad_accum,
         }
         try:
             restored = checkpoint.load_checkpoint(stacked_ckpt, template)
@@ -152,6 +153,7 @@ def train_folds_parallel(
                 ema_params=restored["ema_params"],
                 opt_state=restored["opt_state"],
                 step=jnp.asarray(restored["step"]),
+                grad_accum=restored["grad_accum"],
             )
             start_epoch = int(np.asarray(restored["step"]).max()) // steps_per_epoch + 1
             logger.info(f"🔁 Reanudando todos los folds desde la época {start_epoch}.")

@@ -45,7 +45,15 @@ class TrainConfig:
     lr0: float = 0.002
     lrf: float = 0.01
     warmup_epochs: float = 3.0
+    # bias params warm from this lr instead of 0 (reference
+    # args.yaml:19 warmup_bias_lr: 0.1; upstream param_groups[0])
+    warmup_bias_lr: float = 0.1
     weight_decay: float = 5e-4
+    # nominal batch (args.yaml nbs: 64): gradients accumulate over
+    # round(nbs/batch) micro-batches per optimizer step and the weight
+    # decay scales by batch*accumulate/nbs — the reference's effective
+    # batch is ~nbs regardless of what auto-batch resolved per device
+    nbs: int = 64
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     close_mosaic: int = 10
@@ -60,6 +68,10 @@ class TrainConfig:
     # Consumed at model-creation time (stages/train.py); the train step
     # itself is dtype-agnostic.
     amp: bool = True
+    # rematerialize the big model blocks in backward (bit-identical
+    # results, trades recompute FLOPs for activation HBM -> larger
+    # auto-batch). Consumed at model-creation time like `amp`.
+    remat: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -68,19 +80,31 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     ema_params: Any
     step: jnp.ndarray
+    # gradient-accumulation buffer (zeros between optimizer steps); the
+    # optimizer applies every `accumulate_steps(cfg)` micro-batches
+    grad_accum: Any = None
 
 
-def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
-    """Linear warmup (3 epochs) into per-epoch linear decay to lrf."""
-    warm = max(int(cfg.warmup_epochs * steps_per_epoch), 1)
-    total = cfg.epochs * steps_per_epoch
+def accumulate_steps(cfg: TrainConfig) -> int:
+    """Micro-batches per optimizer step (upstream:
+    ``max(round(nbs / batch_size), 1)``)."""
+    return max(round(cfg.nbs / max(cfg.batch_size, 1)), 1)
+
+
+def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, start: float = 0.0):
+    """Warmup into per-epoch linear decay to lrf, faithful to the
+    upstream loop: the warmup is a per-micro-batch interp over
+    ``nw = max(round(warmup_epochs * steps_per_epoch), 100)`` iterations
+    from `start` (0 for weights, warmup_bias_lr for biases) to the
+    current epoch's scheduled lr."""
+    warm = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
         epoch = jnp.floor(step / steps_per_epoch)
         lf = (1.0 - epoch / cfg.epochs) * (1.0 - cfg.lrf) + cfg.lrf
-        warmup = jnp.clip(step / warm, 0.0, 1.0)
-        return cfg.lr0 * lf * warmup
+        frac = jnp.clip(step / warm, 0.0, 1.0)
+        return start * (1.0 - frac) + cfg.lr0 * lf * frac
 
     return fn
 
@@ -92,18 +116,50 @@ def _wd_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def _bias_labels(params):
+    """'bias' / 'rest' partition, matching upstream build_optimizer's
+    param_groups[0] (everything literally named bias, incl. BN biases)."""
+
+    def label(path, leaf):
+        return "bias" if path[-1].key == "bias" else "rest"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """AdamW (upstream optimizer=auto resolves AdamW for this workload;
+    betas (0.9, 0.999)) with the reference's three-group semantics:
+    biases get no decay and warm from warmup_bias_lr; BN scales get no
+    decay (wd mask covers kernels only); the decay itself scales by
+    ``batch*accumulate/nbs``.
+
+    The optimizer is stepped once per `accumulate` micro-batches on the
+    summed gradients (see make_train_step_fn), so its internal count c
+    advances per APPLY; the schedules compose ``c -> micro-step
+    c*accumulate + accumulate - 1`` — exactly the micro-batch at which
+    upstream's ``ni - last_opt_step >= accumulate`` fires."""
+    acc = accumulate_steps(cfg)
     sched = lr_schedule(cfg, steps_per_epoch)
-    return optax.chain(
+    sched_bias = lr_schedule(cfg, steps_per_epoch, start=cfg.warmup_bias_lr)
+    at_apply = lambda s: (lambda c: s(c * acc + acc - 1))
+    wd_eff = cfg.weight_decay * cfg.batch_size * acc / cfg.nbs
+    tx = optax.chain(
         optax.clip_by_global_norm(10.0),
-        optax.adamw(
-            learning_rate=sched,
-            b1=0.9,
-            b2=0.999,
-            weight_decay=cfg.weight_decay,
-            mask=_wd_mask,
+        optax.multi_transform(
+            {
+                "bias": optax.adamw(
+                    learning_rate=at_apply(sched_bias), b1=0.9, b2=0.999,
+                    weight_decay=0.0,
+                ),
+                "rest": optax.adamw(
+                    learning_rate=at_apply(sched), b1=0.9, b2=0.999,
+                    weight_decay=wd_eff, mask=_wd_mask,
+                ),
+            },
+            _bias_labels,
         ),
-    ), sched
+    )
+    return tx, sched
 
 
 def init_train_state(model, cfg: TrainConfig, steps_per_epoch: int, rng=None):
@@ -119,6 +175,9 @@ def init_train_state(model, cfg: TrainConfig, steps_per_epoch: int, rng=None):
         # aliased params/ema leaves would be donated twice
         ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        grad_accum=jax.tree_util.tree_map(
+            jnp.zeros_like, variables["params"]
+        ),
     )
 
 
@@ -154,14 +213,41 @@ def make_train_step_fn(model, cfg: TrainConfig, steps_per_epoch: int,
             new_bs = jax.lax.pmean(new_bs, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
             parts = jax.lax.pmean(parts, axis_name)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
 
-        d = cfg.ema_decay * (1.0 - jnp.exp(-(state.step + 1) / cfg.ema_tau))
-        new_ema = jax.tree_util.tree_map(
-            lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
-            state.ema_params,
-            new_params,
+        # gradient accumulation to the nominal batch (upstream nbs=64):
+        # micro-batch gradients SUM into the carry; every `acc` steps the
+        # optimizer applies on the sum (clip included — upstream clips the
+        # accumulated gradients right before optimizer.step) and the EMA
+        # updates ONCE per optimizer step with the opt-step count driving
+        # its decay ramp. Both branches derive their outputs from the
+        # operands so the cond stays valid inside shard_map.
+        acc = accumulate_steps(cfg)
+        grads_sum = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), state.grad_accum, grads
+        )
+        do_apply = (state.step + 1) % acc == 0
+        n_applies = (state.step + 1) // acc  # ema update count at apply
+
+        def apply_branch(args):
+            grads_sum, opt_state, params, ema = args
+            updates, new_opt = tx.update(grads_sum, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            d = cfg.ema_decay * (1.0 - jnp.exp(-n_applies / cfg.ema_tau))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                ema,
+                new_params,
+            )
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, grads_sum)
+            return zeros, new_opt, new_params, new_ema
+
+        def skip_branch(args):
+            grads_sum, opt_state, params, ema = args
+            return grads_sum, opt_state, params, ema
+
+        new_accum, new_opt, new_params, new_ema = jax.lax.cond(
+            do_apply, apply_branch, skip_branch,
+            (grads_sum, state.opt_state, state.params, state.ema_params),
         )
         new_state = TrainState(
             params=new_params,
@@ -169,6 +255,7 @@ def make_train_step_fn(model, cfg: TrainConfig, steps_per_epoch: int,
             opt_state=new_opt,
             ema_params=new_ema,
             step=state.step + 1,
+            grad_accum=new_accum,
         )
         metrics = {"loss": loss, **{k: parts[k] for k in ("box", "seg", "cls", "dfl")}}
         return new_state, metrics

@@ -187,3 +187,26 @@ def test_consensus_and_aggregation(experiment_dir, modelo):
     g = json.loads(ev1.global_json.read_text())
     assert "DSC" in g and "media" in g["DSC"]
     assert promediar_folds.ejecutar_flujo_promediar(ev1) is None  # skip
+
+
+def test_dataset_yaml_artifact(tmp_path):
+    """Per-fold dataset YAML (reference train.py:317-344 archives
+    <model_string>.yaml in the fold dir; same keys)."""
+    import yaml
+
+    from tpu_mslesseg.pipeline.modelo import Modelo
+    from tpu_mslesseg.pipeline.stages.train import _escribir_dataset_yaml
+
+    modelo = Modelo(
+        plano="axial", num_cortes=6, modalidad=["FLAIR"], k_folds=2, mejora=None
+    )
+    _escribir_dataset_yaml(
+        tmp_path, modelo, tmp_path / "ds", ["P1", "P2", "P30"], 1, 2
+    )
+    files = list(tmp_path.glob("*.yaml"))
+    assert len(files) == 1 and files[0].name == f"{modelo.model_string}.yaml"
+    d = yaml.safe_load(files[0].read_text())
+    assert set(d) == {"path", "train", "val", "names", "nc"}
+    assert d["nc"] == 1 and d["names"] == ["lesion"]
+    assert set(d["train"]) | set(d["val"]) == {"P1", "P2", "P30"}
+    assert not set(d["train"]) & set(d["val"])

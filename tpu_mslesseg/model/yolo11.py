@@ -92,39 +92,51 @@ class YOLO11Seg(nn.Module):
 
     cfg: YoloConfig
     dtype: Any = jnp.float32
+    # rematerialize the big blocks in the backward pass: activations of
+    # every C3k2/C2PSA/SPPF are recomputed instead of stored, trading
+    # FLOPs for the HBM that caps the train batch (the auto-batch probe
+    # measures ~650 MiB/image without it). No effect on inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg, dt = self.cfg, self.dtype
         c3k = cfg.c3k_deep
         n2 = cfg.rep(2)
+        if self.remat:
+            # static_argnums: `train` (arg 2 incl. self) is a Python bool
+            _C3k2 = nn.remat(C3k2, static_argnums=(2,))
+            _C2PSA = nn.remat(C2PSA, static_argnums=(2,))
+            _SPPF = nn.remat(SPPF, static_argnums=(2,))
+        else:
+            _C3k2, _C2PSA, _SPPF = C3k2, C2PSA, SPPF
 
         x = x.astype(dt)
 
         # ---- backbone ----
         y = Conv(cfg.ch(64), 3, 2, dtype=dt, name="b0")(x, train)       # P1/2
         y = Conv(cfg.ch(128), 3, 2, dtype=dt, name="b1")(y, train)      # P2/4
-        y = C3k2(cfg.ch(256), n2, c3k, e=0.25, dtype=dt, name="b2")(y, train)
+        y = _C3k2(cfg.ch(256), n2, c3k, e=0.25, dtype=dt, name="b2")(y, train)
         y = Conv(cfg.ch(256), 3, 2, dtype=dt, name="b3")(y, train)      # P3/8
-        p3b = C3k2(cfg.ch(512), n2, c3k, e=0.25, dtype=dt, name="b4")(y, train)
+        p3b = _C3k2(cfg.ch(512), n2, c3k, e=0.25, dtype=dt, name="b4")(y, train)
         y = Conv(cfg.ch(512), 3, 2, dtype=dt, name="b5")(p3b, train)    # P4/16
-        p4b = C3k2(cfg.ch(512), n2, True, dtype=dt, name="b6")(y, train)
+        p4b = _C3k2(cfg.ch(512), n2, True, dtype=dt, name="b6")(y, train)
         y = Conv(cfg.ch(1024), 3, 2, dtype=dt, name="b7")(p4b, train)   # P5/32
-        y = C3k2(cfg.ch(1024), n2, True, dtype=dt, name="b8")(y, train)
-        y = SPPF(cfg.ch(1024), 5, dtype=dt, name="b9")(y, train)
-        p5b = C2PSA(cfg.ch(1024), n2, dtype=dt, name="b10")(y, train)
+        y = _C3k2(cfg.ch(1024), n2, True, dtype=dt, name="b8")(y, train)
+        y = _SPPF(cfg.ch(1024), 5, dtype=dt, name="b9")(y, train)
+        p5b = _C2PSA(cfg.ch(1024), n2, dtype=dt, name="b10")(y, train)
 
         # ---- PAN-FPN neck ----
         y = jnp.concatenate([upsample2x(p5b), p4b], axis=-1)            # 12
-        n13 = C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h13")(y, train)
+        n13 = _C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h13")(y, train)
         y = jnp.concatenate([upsample2x(n13), p3b], axis=-1)            # 15
-        p3 = C3k2(cfg.ch(256), n2, c3k, dtype=dt, name="h16")(y, train)  # P3 out
+        p3 = _C3k2(cfg.ch(256), n2, c3k, dtype=dt, name="h16")(y, train)  # P3 out
         y = Conv(cfg.ch(256), 3, 2, dtype=dt, name="h17")(p3, train)
         y = jnp.concatenate([y, n13], axis=-1)                          # 18
-        p4 = C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h19")(y, train)  # P4 out
+        p4 = _C3k2(cfg.ch(512), n2, c3k, dtype=dt, name="h19")(y, train)  # P4 out
         y = Conv(cfg.ch(512), 3, 2, dtype=dt, name="h20")(p4, train)
         y = jnp.concatenate([y, p5b], axis=-1)                          # 21
-        p5 = C3k2(cfg.ch(1024), n2, True, dtype=dt, name="h22")(y, train)  # P5 out
+        p5 = _C3k2(cfg.ch(1024), n2, True, dtype=dt, name="h22")(y, train)  # P5 out
 
         feats = [p3, p4, p5]
         ch = cfg.head_ch
@@ -179,9 +191,10 @@ def cls_bias_init(nc: int, stride: int, imgsz: int = 640):
     return init
 
 
-def create_model(nc: int = 1, scale: str = "n", dtype=jnp.float32):
+def create_model(nc: int = 1, scale: str = "n", dtype=jnp.float32,
+                 remat: bool = False):
     cfg = YoloConfig(nc=nc, scale=scale)
-    return YOLO11Seg(cfg=cfg, dtype=dtype), cfg
+    return YOLO11Seg(cfg=cfg, dtype=dtype, remat=remat), cfg
 
 
 def param_count(params) -> int:

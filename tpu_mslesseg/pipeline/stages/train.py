@@ -31,6 +31,35 @@ def _compute_dtype(cfg: TrainConfig):
     return jnp.bfloat16 if cfg.amp else jnp.float32
 
 
+def _escribir_dataset_yaml(fold_dir, modelo, dataset_dir, patients, fold, k_folds):
+    """Per-fold dataset YAML (reference ``train.py:317-344`` generates a
+    YOLO data YAML and archives a copy as ``<model_string>.yaml`` in the
+    fold dir). Same keys (path/train/val/names/nc); the train/val values
+    record the fold split instead of the reference's transient
+    file-copied subset dirs (deleted right after training there)."""
+    from pathlib import Path
+
+    import yaml
+
+    from tpu_mslesseg.core import distributed
+    from tpu_mslesseg.train import data as tdata
+
+    if not distributed.is_main_process():
+        return
+    train_ids, test_ids = tdata.fold_patient_split(patients, fold, k_folds)
+    payload = {
+        "path": str(Path(dataset_dir).resolve()),
+        "train": sorted(train_ids),
+        "val": sorted(test_ids),
+        "names": ["lesion"],
+        "nc": 1,
+    }
+    out = Path(fold_dir) / f"{modelo.model_string}.yaml"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        yaml.dump(payload, f, default_flow_style=False, sort_keys=False)
+
+
 def ejecutar_flujo_train(
     config: ConfigTrain, limpiar=False, verbose=False, train_cfg: TrainConfig = None,
     scale: str = "n",
@@ -65,7 +94,9 @@ def ejecutar_flujo_train(
     # the demo's 640^2 epoch program OOMs 16G chips at the bare
     # TrainConfig default of 32 once the pool passes the shrink guard
     cfg = train_cfg or TrainConfig(epochs=config.epochs, batch_size=-1)
-    model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
+    model, _ = create_model(
+        nc=1, scale=scale, dtype=_compute_dtype(cfg), remat=cfg.remat
+    )
     patients = listar_pacientes(config.dataset_entrada)
 
     # data-parallel mesh over every available device (the reference's
@@ -80,6 +111,10 @@ def ejecutar_flujo_train(
     if mesh is not None:
         logger.info(f"🕸️ Mesh data-parallel: {n_dev} dispositivos.")
 
+    _escribir_dataset_yaml(
+        config.fold_dir, config.modelo, config.dataset_entrada, patients,
+        config.fold_test, config.modelo.k_folds,
+    )
     summary = engine.train_fold(
         model=model,
         fold_test=config.fold_test,
@@ -178,10 +213,18 @@ def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
         plano=modelo.plano, modalidad=modelo.modalidad,
     )
     cfg = train_cfg or TrainConfig(epochs=epochs, batch_size=-1)
-    model, _ = create_model(nc=1, scale=scale, dtype=_compute_dtype(cfg))
+    model, _ = create_model(
+        nc=1, scale=scale, dtype=_compute_dtype(cfg), remat=cfg.remat
+    )
+    pacientes = listar_pacientes(config.dataset_entrada)
+    for k in range(1, modelo.k_folds + 1):
+        _escribir_dataset_yaml(
+            config.output_dir / f"fold{k}", modelo, config.dataset_entrada,
+            pacientes, k, modelo.k_folds,
+        )
     return engine_parallel.train_folds_parallel(
         model=model,
-        patients=listar_pacientes(config.dataset_entrada),
+        patients=pacientes,
         plano=modelo.plano,
         modalidades=modelo.modalidad,
         mejora=modelo.mejora,

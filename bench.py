@@ -70,6 +70,90 @@ def prepare_plane_work(vol, gt, n_per_plane: int):
     return work
 
 
+_PEAK_BF16_BY_KIND = (
+    # dense bf16 peak FLOP/s per chip
+    ("TPU v5 lite", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v6 lite", 918e12),
+    ("TPU v4", 275e12),
+    ("TPU v3", 123e12),
+)
+
+
+def _peak_bf16_flops(device) -> float | None:
+    for prefix, peak in _PEAK_BF16_BY_KIND:
+        if device.device_kind.startswith(prefix):
+            return peak
+    return None
+
+
+def measure_train_throughput(peak_flops, batch: int = 8, imgsz: int = 640,
+                             k_steps: int = 20):
+    """Steady-state throughput of the real fused augment->train-step
+    program (the epoch-scan body) in slices/s, plus its MFU.
+
+    The K steps chain on-device through the state carry (dispatch is
+    async; the single fetch at the end gives honest wall time, the same
+    measurement discipline as the serving bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mslesseg.model.yolo11 import create_model
+    from tpu_mslesseg.train import augment, trainer
+    from tpu_mslesseg.train.trainer import TrainConfig
+
+    cfg = TrainConfig(epochs=50, batch_size=batch, imgsz=imgsz)
+    model, _ = create_model(
+        nc=1, scale="n", dtype=jnp.bfloat16, remat=cfg.remat
+    )
+    state = trainer.init_train_state(model, cfg, steps_per_epoch=100)
+    step = trainer.make_train_step_fn(model, cfg, steps_per_epoch=100)
+    acfg = augment.AugConfig(imgsz=imgsz, max_inst=8, mosaic=True)
+
+    # tiny device-resident source pool (the demo slice geometry)
+    rng = np.random.default_rng(3)
+    M, H, W = 32, 182, 218
+    instmaps = np.zeros((M, H, W), np.uint8)
+    instmaps[:, 60:100, 80:140] = 1
+    boxes = np.zeros((M, 8, 4), np.float32)
+    boxes[:, 0] = (80, 60, 140, 100)
+    valid = np.zeros((M, 8), bool)
+    valid[:, 0] = True
+    dd = {
+        "images": jnp.asarray(rng.integers(0, 255, (M, H, W)), jnp.uint8),
+        "instmaps": jnp.asarray(instmaps),
+        "boxes": jnp.asarray(boxes),
+        "valid": jnp.asarray(valid),
+    }
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (batch, 4), 0, M)
+
+    def aug_step(state, key, idx):
+        return step(state, augment.make_batch(key, dd, idx, acfg))
+
+    jitted = jax.jit(aug_step)
+    state, _ = jitted(state, key, idx)
+    jax.device_get(state.step)  # compile + warm
+
+    t0 = time.time()
+    for _ in range(k_steps):
+        state, _ = jitted(state, key, idx)
+    jax.device_get(state.step)  # single honest sync
+    dt = time.time() - t0
+    sps = batch * k_steps / dt
+
+    tmfu = None
+    if peak_flops:
+        try:
+            fl = float(
+                jitted.lower(state, key, idx).compile().cost_analysis()["flops"]
+            )
+            tmfu = fl * (k_steps / dt) / peak_flops
+        except Exception:
+            tmfu = None
+    return sps, tmfu
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -82,8 +166,13 @@ def main():
     # serving workload: BOTH demo patients (P39 + P18) in one dispatch —
     # the patient axis folds into the conv batch, so the forward runs at
     # its best measured MXU efficiency (b=300 > b=150 img/s) and the
-    # tunnel round trip amortizes over the batch
-    patients = [load_patient_volume("P39"), load_patient_volume("P18")]
+    # tunnel round trip amortizes over the batch. Override the dispatch
+    # size with TPU_MSLESSEG_BENCH_PATIENTS (cycles the two volumes).
+    import os as _os
+
+    n_pat = int(_os.environ.get("TPU_MSLESSEG_BENCH_PATIENTS", "2"))
+    base_pair = [load_patient_volume("P39"), load_patient_volume("P18")]
+    patients = [base_pair[i % 2] for i in range(n_pat)]
     vol_shape = patients[0][0].shape
     # bf16 activations: the parity target itself runs fp16 AMP inference
     model, cfg = create_model(nc=1, scale="n", dtype=jnp.bfloat16)
@@ -122,7 +211,15 @@ def main():
             counts, _, _ = cp.lote(slices_dev, idx_dev, gts_dev)
             return counts  # fetching these scalars syncs the program
 
-        return run_once
+        def flops():
+            """Executed flops of THE compiled lote program (AOT lower of
+            the same jitted callable -> compile-cache hit)."""
+            c = cp._jitted_lote.lower(
+                cp.variables, dict(slices_dev), dict(idx_dev), gts_dev
+            ).compile()
+            return float(c.cost_analysis()["flops"])
+
+        return run_once, flops
 
     total_slices = n_per_plane * 3 * len(patients)
 
@@ -131,7 +228,7 @@ def main():
     # only a host fetch of the final counts gives an honest end-to-end
     # time. (r1's recorded 573.5 slices/s predates this fix and measured
     # dispatch+queue, not compute.)
-    run_once = build_runner()
+    run_once, flops_fn = build_runner()
     t0 = time.time()
     jax.device_get(run_once())
     compile_s = time.time() - t0
@@ -162,7 +259,7 @@ def main():
     cpu_sps = None
     try:
         n_cpu = 5
-        run_cpu = build_runner(
+        run_cpu, _ = build_runner(
             jax.local_devices(backend="cpu")[0], n=n_cpu, n_patients=1
         )
         jax.device_get(run_cpu())
@@ -171,6 +268,25 @@ def main():
         cpu_sps = 3 * n_cpu / (time.time() - t0)
     except Exception:
         pass  # CPU backend unavailable: report the estimate only
+
+    # --- MFU of the serving program: executed flops (XLA cost analysis
+    # of the exact compiled program) x batches/s / chip peak ---
+    peak_flops = _peak_bf16_flops(jax.devices()[0])
+    mfu = None
+    if flops_fn is not None and peak_flops:
+        try:
+            mfu = flops_fn() * (sps / total_slices) / peak_flops
+        except Exception:
+            mfu = None
+
+    # --- training throughput (VERDICT r2 next #2): the REAL fused
+    # augment->train-step program (the epoch-scan body) at the v5e
+    # auto-batch size, K steps enqueued back-to-back, honest host fetch ---
+    train_sps = train_mfu = None
+    try:
+        train_sps, train_mfu = measure_train_throughput(peak_flops)
+    except Exception:
+        pass
 
     try:
         import ultralytics  # noqa: F401  (the reference's engine)
@@ -191,6 +307,12 @@ def main():
     if cpu_sps is not None:
         out["measured_cpu_sps"] = round(cpu_sps, 2)
         out["vs_measured_cpu"] = round(sps / cpu_sps, 2)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if train_sps is not None:
+        out["train_slices_per_sec"] = round(train_sps, 2)
+    if train_mfu is not None:
+        out["train_mfu"] = round(train_mfu, 4)
     print(json.dumps(out))
 
 

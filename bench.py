@@ -87,8 +87,12 @@ def _peak_bf16_flops(device) -> float | None:
     return None
 
 
-def measure_train_throughput(peak_flops, batch: int = 8, imgsz: int = 640,
+def measure_train_throughput(peak_flops, batch: int = 32, imgsz: int = 640,
                              k_steps: int = 20):
+    # batch=32 is the deployed scale: after the checkpointed mask loss
+    # (r3) the AOT peak at b=32 is 4.6 GiB (was 17.4 — the r2 OOM), so
+    # auto-batch resolves >=32 on v5e. r2's recorded 155 slices/s was
+    # b=8, the old memory wall.
     """Steady-state throughput of the real fused augment->train-step
     program (the epoch-scan body) in slices/s, plus its MFU.
 

@@ -53,6 +53,8 @@ SLOW_TESTS = {
     "test_bf16_step_matches_f32_and_keeps_f32_master_params",
     "test_epoch_fn_matches_per_step_loop",
     "test_full_experiment_all_planes_consensus_and_aggregation",
+    # depends on the artifacts the full-experiment test produces
+    "test_second_run_is_all_skips",
     "test_auto_batch_aot_probe_on_cpu",
     "test_fused_matches_stage_chain",
     "test_lote_sharded_matches_unsharded",

@@ -1,0 +1,57 @@
+"""Fused space-to-depth stem kernel == the model's b0+b1 conv chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mslesseg.model import stem_pallas
+from tpu_mslesseg.model.yolo11 import create_model, fold_gray_stem
+
+
+def _setup(imgsz=64, dtype=jnp.float32):
+    model, _ = create_model(nc=1, scale="n", dtype=dtype)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False
+    )
+    variables = fold_gray_stem(variables)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (3, imgsz, imgsz)), jnp.float32)
+    return model, variables, x
+
+
+@pytest.mark.parametrize("imgsz", [64, 256])  # 256: multi-band DMA path
+def test_stem_kernel_matches_conv_chain_f32(imgsz):
+    model, variables, x = _setup(imgsz=imgsz)
+    ref = stem_pallas.stem_reference(model, variables, x)
+    w = stem_pallas.build_stem_weights(variables, dtype=jnp.float32)
+    got = stem_pallas.stem_apply(w, stem_pallas.stem_s2d(x), interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_stem_kernel_matches_conv_chain_bf16():
+    model, variables, x = _setup(dtype=jnp.bfloat16)
+    ref = stem_pallas.stem_reference(model, variables, x).astype(jnp.float32)
+    w = stem_pallas.build_stem_weights(variables, dtype=jnp.bfloat16)
+    got = stem_pallas.stem_apply(
+        w, stem_pallas.stem_s2d(x).astype(jnp.bfloat16), interpret=True
+    ).astype(jnp.float32)
+    # bf16 activations: tolerance at bf16 ulp scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_model_from_p2_entry_consumes_stem_output():
+    model, variables, x = _setup()
+    w = stem_pallas.build_stem_weights(variables, dtype=jnp.float32)
+    y = stem_pallas.stem_apply(w, stem_pallas.stem_s2d(x), interpret=True)
+    out_p2 = model.apply(variables, y, train=False, from_p2=True)
+    out_full = model.apply(variables, x[..., None], train=False)
+    # downstream of an (at-tolerance) identical stem, outputs agree
+    np.testing.assert_allclose(
+        np.asarray(out_p2["proto"]), np.asarray(out_full["proto"]),
+        rtol=1e-4, atol=1e-4,
+    )

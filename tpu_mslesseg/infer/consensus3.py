@@ -34,6 +34,7 @@ from tpu_mslesseg.evalx import metrics as mx
 from tpu_mslesseg.infer import decode as dec
 from tpu_mslesseg.infer.nms import nms_batch
 from tpu_mslesseg.infer.mask_union_pallas import mask_union_logits_batch
+from tpu_mslesseg.model.yolo11 import fold_gray_stem
 from tpu_mslesseg.infer.predictor import _bilinear_sample
 from tpu_mslesseg.infer.reconstruct import consensus_vote
 from tpu_mslesseg.preproc import enhance
@@ -79,6 +80,12 @@ class ConsensusPredictor:
             raise ValueError(
                 "sin los tres planos no hay consenso: use per_plane_counts=True"
             )
+        # grayscale input: stem kernel folded over in_ch (the network
+        # consumes [B, S, S, 1]; skips the 3-channel repeat broadcast)
+        if isinstance(variables, dict) and "params" not in variables:
+            variables = {p: fold_gray_stem(v) for p, v in variables.items()}
+        else:
+            variables = fold_gray_stem(variables)
         self.mesh = mesh
         if mesh is not None:
             # SPMD serving (SURVEY §2.3 data-parallel mandate covers
@@ -103,6 +110,22 @@ class ConsensusPredictor:
             h, w = geometry.slice_shape(self.vol_shape, p)
             # PNG-space (model) dims are transposed volume-slice dims
             self.lb[p] = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
+        # Opt-in fused Pallas stem — measured slower than XLA's conv
+        # chain on v5e (lane-padding waste; docs/stem_kernel_analysis.md)
+        self._stem_w = None
+        backend = platform or jax.default_backend()
+        from tpu_mslesseg.model import stem_pallas
+
+        if stem_pallas.ENABLED and backend == "tpu" and imgsz % 4 == 0:
+            if isinstance(self.variables, dict) and "params" not in self.variables:
+                self._stem_w = {
+                    p: stem_pallas.build_stem_weights(v, model.dtype)
+                    for p, v in self.variables.items()
+                }
+            else:
+                self._stem_w = stem_pallas.build_stem_weights(
+                    self.variables, model.dtype
+                )
         self._jitted = jax.jit(self._run)
         # serving mode: one program over a batch of patients. NOT a
         # whole-program vmap — that lowers measurably worse (about 1.2x
@@ -140,17 +163,27 @@ class ConsensusPredictor:
                 xs.append(self.lb[p].apply(png))
                 n = sl.shape[0]
             x = jnp.concatenate(xs, axis=0)
-            # cast to the model's compute dtype BEFORE the 3-channel
-            # repeat: the first conv casts anyway (numerics unchanged),
-            # but doing it here halves the HBM footprint of the input
-            x = x.astype(self.model.dtype)
-            x = jnp.repeat(x[..., None], 3, axis=-1)  # [n_mod*N, S, S, 3]
+            # cast to the model's compute dtype here: the first conv
+            # casts anyway (numerics unchanged), halves the input HBM
+            # footprint; single channel pairs with fold_gray_stem
+            x = x.astype(self.model.dtype)  # [n_mod*N, S, S]
             xs_by_plane.append(x)
             segs.append((p, len(mods), n))
 
+        def fwd(vs, x3, stem_w):
+            """Forward on grayscale [M, S, S]: Pallas fused stem on TPU
+            (b0+b1 in one VMEM program), plain conv chain elsewhere."""
+            if stem_w is not None:
+                from tpu_mslesseg.model import stem_pallas
+
+                y = stem_pallas.stem_apply(stem_w, stem_pallas.stem_s2d(x3))
+                return self.model.apply(vs, y, train=False, from_p2=True)
+            return self.model.apply(vs, x3[..., None], train=False)
+
         if per_plane_vars:
             outs = [
-                self.model.apply(variables[p], x, train=False)
+                fwd(variables[p], x,
+                    None if self._stem_w is None else self._stem_w[p])
                 for (p, _, _), x in zip(segs, xs_by_plane)
             ]
             cat = lambda key: jnp.concatenate([o[key] for o in outs], axis=0)
@@ -161,12 +194,16 @@ class ConsensusPredictor:
             proto = cat("proto")
         else:
             x = jnp.concatenate(xs_by_plane, axis=0)
-            out = self.model.apply(variables, x, train=False)
+            out = fwd(variables, x, self._stem_w)
             box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
             proto = out["proto"]
         anchors, strides = dec.make_anchors(self.imgsz, self.imgsz)
-        boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
         scores = jax.nn.sigmoid(cls_l.astype(jnp.float32))[..., 0]
+        # dense DFL decode over all anchors, then NMS. A decode-after-
+        # top-k variant (gather 300 of 8400 [*,64] DFL rows, then decode)
+        # measured SLOWER e2e (3030 vs 3091 slices/s): the row gather
+        # costs more on TPU than the dense VPU softmax it saves.
+        boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)
         nb, _, keep, kidx = nms_batch(boxes, scores, self.conf, self.iou, self.max_det)
         kept_coef = jnp.take_along_axis(mcoef, kidx[..., None], axis=1)
         union = mask_union_logits_batch(

@@ -37,6 +37,8 @@ from tpu_mslesseg.infer.mask_union_pallas import (
     mask_union_logits_ref as _mask_union_logits,  # noqa: F401 (API compat)
 )
 from tpu_mslesseg.infer.nms import nms_batch
+from tpu_mslesseg.model import stem_pallas
+from tpu_mslesseg.model.yolo11 import fold_gray_stem
 
 
 def _bilinear_sample(img, ys, xs):
@@ -84,7 +86,9 @@ class SlicePredictor:
         platform: str | None = None,
     ):
         self.model = model
-        self.variables = variables
+        # grayscale input: stem kernel folded over in_ch, network consumes
+        # [B, S, S, 1] — skips the 3-channel repeat's HBM broadcast
+        self.variables = fold_gray_stem(variables)
         self.platform = platform
         self.slice_hw = tuple(slice_hw)
         self.imgsz = imgsz
@@ -95,6 +99,20 @@ class SlicePredictor:
         h, w = self.slice_hw
         # PNG-space (model) dims are transposed volume-slice dims
         self.lb = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
+        # Opt-in fused Pallas stem (b0+b1 in one VMEM program). Measured
+        # SLOWER than XLA's conv chain on v5e (32 vs 10 ms at b=300: the
+        # 16/64-lane phase arrays pad to 128 lanes, so the VPU im2col
+        # copies dominate) — kept for study behind an env flag. See
+        # docs/stem_kernel_analysis.md.
+        self._stem_w = None
+        if (
+            stem_pallas.ENABLED
+            and (platform or jax.default_backend()) == "tpu"
+            and imgsz % 4 == 0
+        ):
+            self._stem_w = stem_pallas.build_stem_weights(
+                self.variables, model.dtype
+            )
         self._jitted = jax.jit(self._forward)
 
     def _forward(self, variables, slices_u8):
@@ -104,12 +122,15 @@ class SlicePredictor:
         png = geometry.to_png_space_batch(slices_u8)  # [N, w, h]
         x = png.astype(jnp.float32) / 255.0
         x = lb.apply(x)  # [N, S, S]
-        # model-dtype cast before the repeat: numerics identical (the
-        # first conv casts anyway), halves the network-input HBM traffic
+        # model-dtype cast: numerics identical (the first conv casts
+        # anyway), halves the network-input HBM traffic; single-channel
+        # input pairs with the fold_gray_stem'd variables
         x = x.astype(self.model.dtype)
-        x = jnp.repeat(x[..., None], 3, axis=-1)
-
-        out = self.model.apply(variables, x, train=False)
+        if self._stem_w is not None:
+            y = stem_pallas.stem_apply(self._stem_w, stem_pallas.stem_s2d(x))
+            out = self.model.apply(variables, y, train=False, from_p2=True)
+        else:
+            out = self.model.apply(variables, x[..., None], train=False)
         box_d, cls_l, mcoef = dec.flatten_level_outputs(out, reg_max)
         anchors, strides = dec.make_anchors(self.imgsz, self.imgsz)
         boxes = dec.decode_boxes(box_d, anchors, strides, reg_max)

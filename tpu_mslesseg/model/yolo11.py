@@ -99,7 +99,7 @@ class YOLO11Seg(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_p2: bool = False):
         cfg, dt = self.cfg, self.dtype
         c3k = cfg.c3k_deep
         n2 = cfg.rep(2)
@@ -114,8 +114,14 @@ class YOLO11Seg(nn.Module):
         x = x.astype(dt)
 
         # ---- backbone ----
-        y = Conv(cfg.ch(64), 3, 2, dtype=dt, name="b0")(x, train)       # P1/2
-        y = Conv(cfg.ch(128), 3, 2, dtype=dt, name="b1")(y, train)      # P2/4
+        if from_p2:
+            # x is already the P2/4 feature map (the Pallas fused stem
+            # computed b0+b1 — see model/stem_pallas.py); the unused
+            # b0/b1 params stay in `variables` untouched
+            y = x
+        else:
+            y = Conv(cfg.ch(64), 3, 2, dtype=dt, name="b0")(x, train)   # P1/2
+            y = Conv(cfg.ch(128), 3, 2, dtype=dt, name="b1")(y, train)  # P2/4
         y = _C3k2(cfg.ch(256), n2, c3k, e=0.25, dtype=dt, name="b2")(y, train)
         y = Conv(cfg.ch(256), 3, 2, dtype=dt, name="b3")(y, train)      # P3/8
         p3b = _C3k2(cfg.ch(512), n2, c3k, e=0.25, dtype=dt, name="b4")(y, train)
@@ -195,6 +201,31 @@ def create_model(nc: int = 1, scale: str = "n", dtype=jnp.float32,
                  remat: bool = False):
     cfg = YoloConfig(nc=nc, scale=scale)
     return YOLO11Seg(cfg=cfg, dtype=dtype, remat=remat), cfg
+
+
+def fold_gray_stem(variables):
+    """Inference-only variables transform for grayscale inputs.
+
+    The pipeline's slices are single-channel; the reference feeds the
+    model 3-channel PNGs whose channels are equal copies. Since
+    ``conv(repeat(x, 3), W) == conv(x, W.sum(in_ch))`` exactly (in the
+    conv's accumulation dtype), summing the stem kernel over its
+    input-channel axis lets the network consume [B, H, W, 1] directly —
+    skipping the [B, 640, 640, 3] repeat that costs ~5 ms of HBM
+    broadcast traffic per serving batch (b=300, measured). The f32 sum
+    is exact; under bf16 compute the single post-sum cast rounds once
+    where the 3-term accumulation rounded thrice (sub-ulp difference).
+
+    Returns a new variables pytree (input untouched); idempotent.
+    """
+    import jax
+
+    k = variables["params"]["b0"]["conv"]["kernel"]
+    if k.shape[2] == 1:
+        return variables
+    new = jax.tree_util.tree_map(lambda x: x, variables)  # fresh containers
+    new["params"]["b0"]["conv"]["kernel"] = k.sum(axis=2, keepdims=True)
+    return new
 
 
 def param_count(params) -> int:

@@ -205,11 +205,14 @@ def auto_batch_size(
         logger.info(f"🤖 batch=-1 (cacheado): {cached} por dispositivo x {n_data}.")
         return int(cached) * n_data
 
+    # probe-failure fallback mirrors the memory-unknown one: 32 is only
+    # safe on CPU/testing; an accelerator of unknown budget gets 8
+    fallback = DEFAULT_BATCH if dev.platform == "cpu" else DEFAULT_BATCH_ACCEL
     try:
         peaks = [_peak_bytes(model, cfg, train_set, acfg, b) for b in probes]
     except Exception as e:  # AOT unsupported on this backend
-        logger.warning(f"⚠️ batch=-1: sondeo AOT falló ({e}); batch={DEFAULT_BATCH}.")
-        return DEFAULT_BATCH * n_data
+        logger.warning(f"⚠️ batch=-1: sondeo AOT falló ({e}); batch={fallback}.")
+        return fallback * n_data
 
     budget = int(hbm * fraction)
     if peaks[1] <= peaks[0] or peaks[0] <= 0:
@@ -217,9 +220,9 @@ def auto_batch_size(
         # peaks): fall back to the default
         logger.warning(
             f"⚠️ batch=-1: picos AOT no informativos ({peaks}); "
-            f"batch={DEFAULT_BATCH}."
+            f"batch={fallback}."
         )
-        return DEFAULT_BATCH * n_data
+        return fallback * n_data
     b = solve_max_batch(probes[0], peaks[0], probes[1], peaks[1], budget,
                         max_batch=max_batch)
     if b is None:

@@ -52,10 +52,17 @@ def df_loss(pred_dist, target, reg_max: int = 16):
     logp = jax.nn.log_softmax(
         pred_dist.astype(jnp.promote_types(pred_dist.dtype, jnp.float32)), axis=-1
     )
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
-    ce_r = -jnp.take_along_axis(
-        logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1
-    ).squeeze(-1)
+    # bin selection as a one-hot contraction, NOT take_along_axis: XLA's
+    # TPU gather for this shape runs scalarized at ~1.5 GB/s (measured
+    # 8.5 ms/step at b=8 — the single hottest loss op); the compare+
+    # select+reduce over the 16-bin axis is fully vectorized. Numerics
+    # are bitwise identical: the sum's other 15 terms are exact zeros.
+    bins = jnp.arange(reg_max, dtype=jnp.int32)
+    pick = lambda idx: jnp.sum(
+        jnp.where(bins == idx[..., None], logp, 0.0), axis=-1
+    )
+    ce_l = -pick(tl)
+    ce_r = -pick(jnp.clip(tr, 0, reg_max - 1))
     return (ce_l * wl + ce_r * wr).mean(axis=-1)  # mean over 4 sides
 
 
@@ -196,12 +203,22 @@ def segmentation_loss(
     resh = lambda x: jnp.moveaxis(
         x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:]), 1, 0
     )
-    chunk_sums = jax.lax.map(
-        chunk_seg_loss,
-        (resh(sel_coef), resh(sel_gt), resh(sel_box_px), resh(sel_valid)),
-    )
+    # checkpoint the chunk body: without it every chunk's [B, chunk,
+    # mh, mw] f32 residuals (pred/gt/in_box) are stored for the backward
+    # — ~260 MB of stacked buffers whose dynamic-update-slice traffic
+    # dominated the train-step trace AND the activation footprint that
+    # capped auto-batch at 8 (measured peak at b=32: 17.4 -> 4.6 GiB).
+    # Recomputing the einsum+BCE in the backward costs ~0.8 GFLOP/chunk
+    # — noise next to the saved bandwidth; values are bit-identical
+    # (same HLO re-executed on the same inputs). The chunk loop is
+    # UNROLLED (n_chunks is small and static): a lax.map would thread
+    # the [B, mh, mw, nm] dproto accumulator through a sequential while
+    # carry at HBM cost per chunk, while the unrolled adds fuse.
+    ck = jax.checkpoint(chunk_seg_loss)
+    parts_c = [resh(x) for x in (sel_coef, sel_gt, sel_box_px, sel_valid)]
+    chunk_sums = [ck(tuple(p[i] for p in parts_c)) for i in range(n_chunks)]
     n_fg = jnp.maximum(fg.sum(), 1.0)
-    loss_seg = chunk_sums.sum() / n_fg
+    loss_seg = sum(chunk_sums) / n_fg
 
     # components are the GAIN-SCALED detached items (what Ultralytics logs
     # to results.csv: train/box_loss is box*hyp.box, seg gain is hyp.box

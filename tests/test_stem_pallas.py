@@ -55,3 +55,29 @@ def test_model_from_p2_entry_consumes_stem_output():
         np.asarray(out_p2["proto"]), np.asarray(out_full["proto"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_fold_gray_stem_equals_three_channel_repeat_f32():
+    """conv(repeat(x,3), W) == conv(x, W.sum(in_ch)) exactly in f32 —
+    the identity the grayscale serving path rests on."""
+    model, _ = create_model(nc=1, scale="n", dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64)), jnp.float32)
+
+    folded = fold_gray_stem(variables)
+    assert folded["params"]["b0"]["conv"]["kernel"].shape[2] == 1
+    # original variables untouched, fold idempotent
+    assert variables["params"]["b0"]["conv"]["kernel"].shape[2] == 3
+    refold = fold_gray_stem(folded)
+    assert refold["params"]["b0"]["conv"]["kernel"].shape[2] == 1
+
+    out3 = model.apply(variables, jnp.repeat(x[..., None], 3, -1), train=False)
+    out1 = model.apply(folded, x[..., None], train=False)
+    for k in ("proto", "p3"):
+        if k in out3:
+            np.testing.assert_allclose(
+                np.asarray(out3[k]), np.asarray(out1[k]), rtol=1e-6, atol=1e-6
+            )

@@ -148,9 +148,17 @@ def assign(
     fg_mask = mask_pos.any(axis=1)  # [B, A]
     target_gt_idx = jnp.argmax(mask_pos, axis=1)  # [B, A]
 
-    # gather targets
-    tb = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # [B,A,4]
-    tl = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # [B, A]
+    # gather targets — as a compare-select reduction over the (small) M
+    # axis, NOT take_along_axis: XLA's TPU gather for [B, A] indices into
+    # [B, M, 4] runs at ~7 GB/s (1.5 ms/step at b=32); the one-hot sum is
+    # fully vectorized and bitwise identical (the other M-1 terms are
+    # exact zeros; no matmul, so nothing is rounded through bf16)
+    gt_m = jnp.arange(M, dtype=target_gt_idx.dtype)
+    sel = gt_m[None, None, :] == target_gt_idx[..., None]  # [B, A, M]
+    tb = jnp.sum(
+        jnp.where(sel[..., None], gt_bboxes[:, None, :, :], 0.0), axis=2
+    )  # [B, A, 4]
+    tl = jnp.sum(jnp.where(sel, gt_labels[:, None, :], 0), axis=2)  # [B, A]
 
     # normalized soft scores (align/overlaps already masked to valid)
     align_pos = jnp.where(mask_pos, align, 0.0)

@@ -163,42 +163,39 @@ def segmentation_loss(
     proto_f32 = proto.astype(jnp.float32)
 
     def chunk_seg_loss(args):
+        # Straight-line masked math, NO lax.cond runtime skip: the cond
+        # forced XLA to materialize every [B, chunk, mh, mw] f32 branch
+        # operand/result as conditional tuples plus scalar-constant
+        # broadcast buffers (~25 ms/step at b=32 in the trace); unguarded,
+        # the einsum->BCE->reduce chain fuses and an all-padding chunk
+        # still contributes an exact 0.0 through the valid_c mask (same
+        # values bit-for-bit). Also removes the branch varying-ness
+        # hazard inside the fold-parallel shard_map program.
         coef_c, gt_c, box_c, valid_c = args  # [B, chunk, ...]
-
-        def compute(_):
-            # predicted mask logits at proto res
-            pred = jnp.einsum("bkc,bhwc->bkhw", coef_c.astype(jnp.float32),
-                              proto_f32)
-            ids = (gt_c + 1).astype(jnp.int32)
-            gt_masks = (
-                gt_instmap[:, None, :, :].astype(jnp.int32)
-                == ids[:, :, None, None]
-            ).astype(jnp.float32)
-            bx = box_c * scale  # crop region: target box at proto res
-            in_box = (
-                (cols >= bx[..., 0][..., None, None])
-                & (cols < bx[..., 2][..., None, None])
-                & (rows >= bx[..., 1][..., None, None])
-                & (rows < bx[..., 3][..., None, None])
-            ).astype(jnp.float32)
-            bce = optax_sigmoid_bce(pred, gt_masks) * in_box
-            # cropped-BCE mean over the map / box area *fraction*
-            # == cropped-BCE sum / box area in proto pixels. NO area
-            # clamping (upstream divides by the exact normalized area —
-            # sub-proto-pixel lesions are up-weighted accordingly); padded
-            # slots get a dummy area of 1 so the masked division is finite
-            area = (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1])
-            area = jnp.where(valid_c > 0, area, 1.0)
-            return (bce.sum(axis=(2, 3)) / area * valid_c).sum()
-
-        # the false branch derives its zero from the inputs so both
-        # branches carry the same device-varying type under shard_map
-        # (a bare constant trips the vma check inside the fold-parallel
-        # SPMD program)
-        return jax.lax.cond(
-            valid_c.any(), compute,
-            lambda _: jnp.float32(0.0) * coef_c.sum(), None,
-        )
+        # predicted mask logits at proto res
+        pred = jnp.einsum("bkc,bhwc->bkhw", coef_c.astype(jnp.float32),
+                          proto_f32)
+        ids = (gt_c + 1).astype(jnp.int32)
+        gt_masks = (
+            gt_instmap[:, None, :, :].astype(jnp.int32)
+            == ids[:, :, None, None]
+        ).astype(jnp.float32)
+        bx = box_c * scale  # crop region: target box at proto res
+        in_box = (
+            (cols >= bx[..., 0][..., None, None])
+            & (cols < bx[..., 2][..., None, None])
+            & (rows >= bx[..., 1][..., None, None])
+            & (rows < bx[..., 3][..., None, None])
+        ).astype(jnp.float32)
+        bce = optax_sigmoid_bce(pred, gt_masks) * in_box
+        # cropped-BCE mean over the map / box area *fraction*
+        # == cropped-BCE sum / box area in proto pixels. NO area
+        # clamping (upstream divides by the exact normalized area —
+        # sub-proto-pixel lesions are up-weighted accordingly); padded
+        # slots get a dummy area of 1 so the masked division is finite
+        area = (bx[..., 2] - bx[..., 0]) * (bx[..., 3] - bx[..., 1])
+        area = jnp.where(valid_c > 0, area, 1.0)
+        return (bce.sum(axis=(2, 3)) / area * valid_c).sum()
 
     resh = lambda x: jnp.moveaxis(
         x.reshape(x.shape[0], n_chunks, chunk, *x.shape[2:]), 1, 0

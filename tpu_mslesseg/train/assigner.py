@@ -132,8 +132,14 @@ def assign(
     k = min(topk, A)
     topk_idx = _topk_indices_desc(align, k)  # [B, M, k]
     topk_idx = jnp.where(gt_valid[:, :, None], topk_idx, 0)
-    counts = jax.vmap(jax.vmap(lambda idx: jnp.zeros((A,), jnp.int32).at[idx].add(1)))(
-        topk_idx
+    # claim counts as a compare-reduce over the k axis (exact integer
+    # counts, same as scatter-add): the batched [B, M] scatter into A
+    # slots runs scalarized on TPU; the [B, M, k, A] compare+sum fuses
+    counts = jnp.sum(
+        (topk_idx[..., None] == jnp.arange(A, dtype=topk_idx.dtype)).astype(
+            jnp.int32
+        ),
+        axis=-2,
     )  # [B, M, A]
     mask_pos = (counts == 1) & valid  # [B, M, A]
 

@@ -14,9 +14,23 @@ def _setup(imgsz=64, dtype=jnp.float32):
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3)), train=False
     )
+    # perturb the stem BN running stats away from init (mean=0, var=1,
+    # bias=0): with init stats silu(bn(0)) == 0, so the kernel's only
+    # nontrivial boundary case (the virtual b0 row -1 that must be b1's
+    # exact zero padding) contributes nothing and a top-border bug is
+    # invisible to the parity check
+    rng = np.random.default_rng(5)
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    for blk in ("b0", "b1"):
+        st = variables["batch_stats"][blk]["bn"]
+        pp = variables["params"][blk]["bn"]
+        st["mean"] = jnp.asarray(rng.normal(0.3, 0.2, st["mean"].shape), jnp.float32)
+        st["var"] = jnp.asarray(rng.uniform(0.5, 2.0, st["var"].shape), jnp.float32)
+        pp["bias"] = jnp.asarray(rng.normal(0.1, 0.3, pp["bias"].shape), jnp.float32)
     variables = fold_gray_stem(variables)
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.uniform(0, 1, (3, imgsz, imgsz)), jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 1, (3, imgsz, imgsz)), jnp.float32
+    )
     return model, variables, x
 
 

@@ -34,6 +34,7 @@ from tpu_mslesseg.evalx import metrics as mx
 from tpu_mslesseg.infer import decode as dec
 from tpu_mslesseg.infer.nms import nms_batch
 from tpu_mslesseg.infer.mask_union_pallas import mask_union_logits_batch
+from tpu_mslesseg.model import stem_pallas
 from tpu_mslesseg.model.yolo11 import fold_gray_stem
 from tpu_mslesseg.infer.predictor import _bilinear_sample
 from tpu_mslesseg.infer.reconstruct import consensus_vote
@@ -112,20 +113,9 @@ class ConsensusPredictor:
             self.lb[p] = dec.Letterbox(src_h=w, src_w=h, size=imgsz)
         # Opt-in fused Pallas stem — measured slower than XLA's conv
         # chain on v5e (lane-padding waste; docs/stem_kernel_analysis.md)
-        self._stem_w = None
-        backend = platform or jax.default_backend()
-        from tpu_mslesseg.model import stem_pallas
-
-        if stem_pallas.ENABLED and backend == "tpu" and imgsz % 4 == 0:
-            if isinstance(self.variables, dict) and "params" not in self.variables:
-                self._stem_w = {
-                    p: stem_pallas.build_stem_weights(v, model.dtype)
-                    for p, v in self.variables.items()
-                }
-            else:
-                self._stem_w = stem_pallas.build_stem_weights(
-                    self.variables, model.dtype
-                )
+        self._stem_w = stem_pallas.maybe_build(
+            self.variables, model.dtype, platform, imgsz
+        )
         self._jitted = jax.jit(self._run)
         # serving mode: one program over a batch of patients. NOT a
         # whole-program vmap — that lowers measurably worse (about 1.2x
@@ -174,8 +164,6 @@ class ConsensusPredictor:
             """Forward on grayscale [M, S, S]: Pallas fused stem on TPU
             (b0+b1 in one VMEM program), plain conv chain elsewhere."""
             if stem_w is not None:
-                from tpu_mslesseg.model import stem_pallas
-
                 y = stem_pallas.stem_apply(stem_w, stem_pallas.stem_s2d(x3))
                 return self.model.apply(vs, y, train=False, from_p2=True)
             return self.model.apply(vs, x3[..., None], train=False)

@@ -104,15 +104,9 @@ class SlicePredictor:
         # 16/64-lane phase arrays pad to 128 lanes, so the VPU im2col
         # copies dominate) — kept for study behind an env flag. See
         # docs/stem_kernel_analysis.md.
-        self._stem_w = None
-        if (
-            stem_pallas.ENABLED
-            and (platform or jax.default_backend()) == "tpu"
-            and imgsz % 4 == 0
-        ):
-            self._stem_w = stem_pallas.build_stem_weights(
-                self.variables, model.dtype
-            )
+        self._stem_w = stem_pallas.maybe_build(
+            self.variables, model.dtype, platform, imgsz
+        )
         self._jitted = jax.jit(self._forward)
 
     def _forward(self, variables, slices_u8):

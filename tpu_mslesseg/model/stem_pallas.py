@@ -63,6 +63,19 @@ from jax.experimental.pallas import tpu as pltpu
 ENABLED = os.environ.get("TPU_MSLESSEG_PALLAS_STEM", "0") == "1"
 
 
+def maybe_build(variables, dtype, platform, imgsz: int):
+    """Single gate for the opt-in fused stem, shared by the predictors:
+    returns rearranged stem weights when enabled and applicable (TPU
+    backend, imgsz divisible by the space-to-depth factor), else None.
+    `variables` may be one pytree or a per-plane dict of pytrees."""
+    backend = platform or jax.default_backend()
+    if not (ENABLED and backend == "tpu" and imgsz % 4 == 0):
+        return None
+    if isinstance(variables, dict) and "params" not in variables:
+        return {p: build_stem_weights(v, dtype) for p, v in variables.items()}
+    return build_stem_weights(variables, dtype)
+
+
 def stem_s2d(x):
     """[B, S, S] -> [B, S/4, S/4, 16] phase image (p = py*4 + px)."""
     b, s, s2 = x.shape
@@ -182,6 +195,15 @@ def _stem_kernel(x_ref, w0_ref, m0_ref, s0_ref, b0_ref,
     o = (acc - m0_ref[:]) * s0_ref[:] + b0_ref[:]
     o = jax.nn.silu(o).astype(dtype)
     o0band[:, 1:1 + w, :] = o.reshape(bd + 1, w, 4 * c0)
+
+    # o0 row -1 (the first band's top row) is b1's ZERO padding of the
+    # b0 output — it must not be the BN+SiLU image of zeroed input
+    # (silu(bn(0)) != 0 for trained, nonzero BN stats; with init stats
+    # the difference vanishes, which is why only stats-perturbed parity
+    # tests can see it)
+    @pl.when(j == 0)
+    def _():
+        o0band[0:1, :, :] = jnp.zeros_like(o0band[0:1, :, :])
 
     # stage 2: b1 back to real resolution — out rows [y0, y0+bd)
     for t, (ky, kx) in enumerate(taps):

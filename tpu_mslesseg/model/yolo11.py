@@ -219,12 +219,18 @@ def fold_gray_stem(variables):
     Returns a new variables pytree (input untouched); idempotent.
     """
     import jax
+    import numpy as np
 
     k = variables["params"]["b0"]["conv"]["kernel"]
     if k.shape[2] == 1:
         return variables
     new = jax.tree_util.tree_map(lambda x: x, variables)  # fresh containers
-    new["params"]["b0"]["conv"]["kernel"] = k.sum(axis=2, keepdims=True)
+    # sum on HOST (numpy): an eager throwaway-shape device op through the
+    # TPU tunnel costs seconds per predictor construction (CLAUDE.md
+    # host-compute rule); np.asarray is one small fetch
+    new["params"]["b0"]["conv"]["kernel"] = jnp.asarray(
+        np.asarray(k).sum(axis=2, keepdims=True), k.dtype
+    )
     return new
 
 

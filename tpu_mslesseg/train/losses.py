@@ -136,8 +136,8 @@ def segmentation_loss(
     # fg anchor ahead of the padding, making the top_k selection exact
     # (the old fixed max_fg=64 budget silently dropped anchors on crowded
     # mosaics — VERDICT r1 weak #6). Chunking by cfg.max_fg bounds the
-    # [B, k, mh, mw] mask materialization; all-padding chunks are skipped
-    # at runtime via lax.cond.
+    # [B, k, mh, mw] mask materialization; all-padding chunks contribute
+    # an exact 0.0 through the validity mask (see chunk_seg_loss).
     M = gt_valid.shape[1]
     k = min(M * 10, A)  # exhaustive fg bound, never beyond the anchor count
     chunk = min(cfg.max_fg, k)

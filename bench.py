@@ -158,10 +158,31 @@ def measure_train_throughput(peak_flops, batch: int = 32, imgsz: int = 640,
     return sps, tmfu
 
 
+def _tpu_tunnel_alive() -> bool:
+    """The axon TPU plugin reaches the chip through a local stdio relay
+    (`/root/.tpu_init.py`) listening on fixed localhost ports. If the
+    relay died, the first device op hangs FOREVER (no timeout in the
+    plugin), so probe a relay port before letting jax touch the backend
+    and fall back to XLA-CPU when it is gone — a bench that hangs
+    records nothing."""
+    import socket
+
+    for port in (8082, 8092, 8102, 8112):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.5):
+                return True
+        except OSError:
+            continue
+    return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    tpu_dead = not _tpu_tunnel_alive()
+    if tpu_dead:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
@@ -175,6 +196,7 @@ def main():
     import os as _os
 
     n_pat = int(_os.environ.get("TPU_MSLESSEG_BENCH_PATIENTS", "2"))
+    n_slices_pp = 50  # canonical P50 config
     base_pair = [load_patient_volume("P39"), load_patient_volume("P18")]
     patients = [base_pair[i % 2] for i in range(n_pat)]
     vol_shape = patients[0][0].shape
@@ -184,7 +206,12 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3)), train=False
     )
 
-    n_per_plane = 50  # canonical P50 config
+    if tpu_dead:
+        # degraded mode: the XLA-CPU floor measurement only, scaled down
+        # so the run completes (the full P50 workload takes minutes/batch
+        # on CPU); the JSON line still appears, flagged.
+        n_slices_pp = 5
+    n_per_plane = n_slices_pp
 
     def build_runner(device=None, n=n_per_plane, n_patients=len(patients)):
         """The fused single-program 3-plane pipeline (enhance -> batched
@@ -287,10 +314,11 @@ def main():
     # augment->train-step program (the epoch-scan body) at the v5e
     # auto-batch size, K steps enqueued back-to-back, honest host fetch ---
     train_sps = train_mfu = None
-    try:
-        train_sps, train_mfu = measure_train_throughput(peak_flops)
-    except Exception:
-        pass
+    if not tpu_dead:  # a 640^2 b=32 train step on XLA-CPU takes minutes
+        try:
+            train_sps, train_mfu = measure_train_throughput(peak_flops)
+        except Exception:
+            pass
 
     try:
         import ultralytics  # noqa: F401  (the reference's engine)
@@ -308,6 +336,9 @@ def main():
         "reference_runnable": reference_runnable,
         "patients_per_dispatch": len(patients),
     }
+    if tpu_dead:
+        out["tpu_unavailable"] = True  # relay probe failed; value is the
+        # XLA-CPU floor at reduced scale, NOT a chip number
     if cpu_sps is not None:
         out["measured_cpu_sps"] = round(cpu_sps, 2)
         out["vs_measured_cpu"] = round(sps / cpu_sps, 2)

@@ -165,7 +165,11 @@ def _tpu_tunnel_alive() -> bool:
     plugin), so probe a relay port before letting jax touch the backend
     and fall back to XLA-CPU when it is gone — a bench that hangs
     records nothing."""
+    import os
     import socket
+
+    if not os.path.isdir("/root/.axon_site"):
+        return True  # no tunneled plugin on this host; nothing to probe
 
     for port in (8082, 8092, 8102, 8112):
         try:

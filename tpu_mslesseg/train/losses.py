@@ -172,7 +172,13 @@ def segmentation_loss(
         # values bit-for-bit). Also removes the branch varying-ness
         # hazard inside the fold-parallel shard_map program.
         coef_c, gt_c, box_c, valid_c = args  # [B, chunk, ...]
-        # predicted mask logits at proto res
+        # predicted mask logits at proto res. NOTE on precision: the f32
+        # casts pin the ELEMENTWISE math (BCE runs in f32, like torch
+        # autocast's always-f32 binary_cross_entropy_with_logits), but
+        # the einsum itself runs at JAX's default matmul precision —
+        # reduced (bf16 passes) on TPU, exact f32 on the CPU parity
+        # tests. That split is torch-AMP parity too: autocast runs
+        # matmuls in half precision.
         pred = jnp.einsum("bkc,bhwc->bkhw", coef_c.astype(jnp.float32),
                           proto_f32)
         ids = (gt_c + 1).astype(jnp.int32)

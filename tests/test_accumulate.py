@@ -124,3 +124,29 @@ def test_step_applies_only_every_accumulate():
     assert any(jax.tree_util.tree_leaves(changed))
     ga2 = jax.device_get(s2.grad_accum)
     assert all(float(np.abs(x).sum()) == 0 for x in jax.tree_util.tree_leaves(ga2))
+
+
+def test_results_csv_pg_columns_split_bias_warmup(tmp_path):
+    """lr/pg0 is the BIAS group's schedule (warms DOWN from
+    warmup_bias_lr=0.1 toward the weight lr); pg1 == pg2 carry the plain
+    schedule — upstream param-group order in results.csv."""
+    import csv
+
+    from tpu_mslesseg.train.trainer import (
+        ResultsWriter, TrainConfig, lr_schedule,
+    )
+
+    cfg = TrainConfig(epochs=50, batch_size=8)
+    sched = lr_schedule(cfg, steps_per_epoch=100)
+    sched_b = lr_schedule(cfg, steps_per_epoch=100,
+                          start=cfg.warmup_bias_lr)
+    w = ResultsWriter(tmp_path / "results.csv")
+    step_in_warmup = 50  # nw >= 100 iters, so step 50 is mid-warmup
+    w.write_epoch(1, {}, {}, {},
+                  (float(sched_b(step_in_warmup)), float(sched(step_in_warmup))))
+    rows = list(csv.reader(open(tmp_path / "results.csv")))
+    pg0, pg1, pg2 = (float(x) for x in rows[1][-3:])
+    assert pg1 == pg2
+    assert pg0 > pg1  # bias lr interpolates down from 0.1 during warmup
+    # the CSV stores %.6g
+    assert abs(pg0 - float(sched_b(step_in_warmup))) < 1e-6

@@ -184,6 +184,9 @@ def train_fold(
         False: trainer.make_epoch_fn(model, cfg, steps_per_epoch, acfg_plain),
     }
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
+    sched_bias = trainer.lr_schedule(
+        cfg, steps_per_epoch, start=cfg.warmup_bias_lr
+    )
 
     dd = train_set.as_dict()
     key = jax.random.PRNGKey(cfg.seed)
@@ -266,7 +269,8 @@ def train_fold(
         else:
             val_metrics, val_losses = {}, {}
 
-        lr = float(sched(int(state.step) - 1))
+        last = int(state.step) - 1
+        lr = (float(sched_bias(last)), float(sched(last)))
         results.write_epoch(epoch, train_losses, val_metrics, val_losses, lr)
         fit = fitness(val_metrics)
         logger.info(

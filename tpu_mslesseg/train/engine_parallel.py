@@ -228,6 +228,9 @@ def train_folds_parallel(
         best_fits.append(bf)
 
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
+    sched_bias = trainer.lr_schedule(
+        cfg, steps_per_epoch, start=cfg.warmup_bias_lr
+    )
     val_accs = [None] * k_folds  # last validation accumulators (curves)
 
     with mesh if mesh is not None else nullcontext():
@@ -250,7 +253,8 @@ def train_folds_parallel(
             }
 
             do_val = epoch % val_every == 0 or epoch == cfg.epochs
-            lr = float(sched(int(np.asarray(state.step).max()) - 1))
+            last = int(np.asarray(state.step).max()) - 1
+            lr = (float(sched_bias(last)), float(sched(last)))
             # validation: DISPATCH every fold's whole val pass first (the
             # per-fold variable copies and batches are all async), then
             # pay ONE device_get for all folds — tunnel round trips per

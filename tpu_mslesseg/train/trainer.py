@@ -361,8 +361,13 @@ class ResultsWriter:
             csv.writer(f).writerow(RESULTS_HEADER)
 
     def write_epoch(self, epoch, train_losses, val_metrics, val_losses, lr):
+        """`lr` is (bias_lr, weight_lr) or a single float. Columns follow
+        upstream param-group order: pg0 = biases (warms from
+        warmup_bias_lr), pg1 = decayed weights, pg2 = BN weights — pg1
+        and pg2 always share the plain schedule."""
         if not self.enabled:
             return
+        lr_b, lr_w = lr if isinstance(lr, (tuple, list)) else (lr, lr)
         row = [
             epoch,
             round(time.time() - self.t0, 4),
@@ -371,7 +376,7 @@ class ResultsWriter:
                 "precision_b", "recall_b", "map50_b", "map_b",
                 "precision_m", "recall_m", "map50_m", "map_m")],
             *[round(float(val_losses.get(k, 0)), 5) for k in ("box", "seg", "cls", "dfl")],
-            *([f"{lr:.6g}"] * 3),
+            *[f"{v:.6g}" for v in (lr_b, lr_w, lr_w)],
         ]
         with open(self.path, "a", newline="") as f:
             csv.writer(f).writerow(row)

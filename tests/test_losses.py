@@ -141,3 +141,28 @@ def test_segmentation_loss_no_gt(tiny_outputs):
     assert np.isfinite(float(total))
     assert float(parts["fg_count"]) == 0
     assert float(parts["box"]) == 0 and float(parts["seg"]) == 0
+
+
+def test_loss_grad_program_has_no_conditionals_or_stray_scatters(tiny_outputs):
+    """Regression guard for the TPU perf rewrite: the loss+grad program
+    must contain NO conditionals (the old per-chunk lax.cond skip forced
+    materialized branch tuples) and at most the single scatter that is
+    the mcoef-gather VJP (the counts/targets/DFL selections are
+    compare-select reductions)."""
+    cfg = LossConfig(imgsz=160, max_fg=16)
+    gt_boxes = jnp.asarray(
+        [[[40.0, 40, 100, 100], [0, 0, 0, 0]],
+         [[10.0, 10, 60, 60], [80, 80, 140, 140]]]
+    )
+    gt_labels = jnp.zeros((2, 2), jnp.int32)
+    gt_valid = jnp.asarray([[True, False], [True, True]])
+    inst = jnp.zeros((2, 40, 40), jnp.uint8)
+
+    def loss_fn(outs):
+        t, _ = segmentation_loss(outs, gt_boxes, gt_labels, gt_valid, inst, cfg)
+        return t
+
+    txt = jax.jit(jax.grad(loss_fn)).lower(tiny_outputs).as_text()
+    assert "stablehlo.if" not in txt and "stablehlo.case" not in txt
+    n_scatter = txt.count('"stablehlo.scatter"')
+    assert n_scatter <= 1, n_scatter  # the mcoef-gather VJP only

@@ -82,3 +82,47 @@ def test_results_writer_resume_drops_replayed_epochs(tmp_path):
     with open(path) as f:
         epochs = [r[0] for r in list(csv.reader(f))[1:]]
     assert epochs == [str(e) for e in range(1, 31)]
+
+
+def test_compat_restore_of_pre_grad_accum_checkpoint(tmp_path):
+    """A last.ckpt saved before gradient accumulation existed has no
+    'grad_accum' entry; a strict template restore raises and the engine's
+    except would silently RESTART training (rewriting results.csv and
+    clobbering best.ckpt). load_checkpoint_compat must restore the old
+    keys and fill grad_accum from the template instead."""
+    import pytest
+
+    path = tmp_path / "last.ckpt"
+
+    class Old(_State):  # pre-accumulation state: no grad_accum attribute
+        opt_state = {"mu": np.full((4, 4), 0.5, np.float32)}
+
+    checkpoint.save_checkpoint(path, Old, include_opt=True)
+
+    zeros = {"w": np.zeros((4, 4), np.float32)}
+    template = {
+        "params": Old.params,
+        "batch_stats": Old.batch_stats,
+        "ema_params": Old.ema_params,
+        "opt_state": Old.opt_state,
+        "step": np.asarray(Old.step),
+        "grad_accum": zeros,
+    }
+    # the strict restore indeed fails on the extra key (the bug's trigger)
+    with pytest.raises(Exception):
+        checkpoint.load_checkpoint(path, template)
+
+    restored = checkpoint.load_checkpoint_compat(path, template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  Old.params["w"])
+    np.testing.assert_array_equal(np.asarray(restored["opt_state"]["mu"]),
+                                  Old.opt_state["mu"])
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(np.asarray(restored["grad_accum"]["w"]),
+                                  zeros["w"])
+
+    # a genuinely mismatched template (no optional key involved) still raises
+    bad = {k: v for k, v in template.items() if k != "grad_accum"}
+    bad["params"] = {"nope": np.zeros((2,), np.float32)}
+    with pytest.raises(Exception):
+        checkpoint.load_checkpoint_compat(path, bad)

@@ -123,3 +123,54 @@ def test_lote_sharded_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(vm))
     for p in PLANES:
         np.testing.assert_array_equal(np.asarray(vols0[p]), np.asarray(volsm[p]))
+
+
+def test_multimodal_union_matches_per_modality_or():
+    """The n_mod>1 dict path (the CLI's default --modalidad T1 T2 FLAIR):
+    the fused multimodal program's per-plane volume equals the OR of the
+    single-modality programs' volumes — the stage chain's multimodal
+    union semantics (generar_predicciones's per-modality loop)."""
+    rng = np.random.default_rng(3)
+    vol_a = rng.normal(500, 150, VOL_SHAPE).astype(np.float32)
+    vol_b = rng.normal(480, 160, VOL_SHAPE).astype(np.float32)
+    gt = np.zeros(VOL_SHAPE, np.float32)
+    gt[8:14, 10:18, 9:15] = 1
+    model, _ = create_model(nc=1, scale="n")
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, IMGSZ, IMGSZ, 3)), train=False
+    )
+    ids = np.arange(5, 5 + N)
+    multi, idx = {}, {}
+    for p in PLANES:
+        idx[p] = jnp.asarray(ids)
+        multi[p] = {
+            "T1": jnp.asarray(geometry.extract_slices(vol_a, p, ids)),
+            "FLAIR": jnp.asarray(geometry.extract_slices(vol_b, p, ids)),
+        }
+
+    cp = ConsensusPredictor(
+        model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ, umbral=2
+    )
+    counts_m, cons_m, vols_m = cp(multi, idx, jnp.asarray(gt))
+
+    # reference: one single-modality fused run per modality, volumes OR'd
+    vols_by_mod = []
+    for mod in ("T1", "FLAIR"):
+        single = {p: multi[p][mod] for p in PLANES}
+        _, _, v = cp(single, idx, jnp.asarray(gt))
+        vols_by_mod.append(v)
+    for p in PLANES:
+        expect = np.maximum(
+            np.asarray(vols_by_mod[0][p]), np.asarray(vols_by_mod[1][p])
+        )
+        np.testing.assert_array_equal(np.asarray(vols_m[p]), expect)
+
+    # consensus + counts are the vote/confusion of the unioned volumes
+    unioned = [
+        np.maximum(np.asarray(vols_by_mod[0][p]), np.asarray(vols_by_mod[1][p]))
+        for p in PLANES
+    ]
+    expect_cons = consensus_vote(*unioned, umbral=2)
+    np.testing.assert_array_equal(np.asarray(cons_m), np.asarray(expect_cons))
+    m = mx.metrics_from_counts(np.asarray(counts_m))
+    assert all(np.isfinite(v) for v in m.values())

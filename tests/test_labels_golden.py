@@ -86,18 +86,12 @@ def test_labels_match_upstream_converter_semantics(case, tmp_path):
     for i, (g, o) in enumerate(zip(g_sets, o_sets)):
         assert g == o, (case, i, sorted(o ^ g)[:8])
 
-    # filling either boundary reproduces the mask's components (holes
-    # excluded; <3-px components excluded by both writers)
+    # our filled boundaries never exceed the mask's filled area (the
+    # per-row set equality above is the strong check; full two-sided
+    # coverage is NOT asserted because straight-line components are
+    # legitimately dropped by both writers)
     filled = np.zeros((H, W), bool)
     for o in o_sets:
         filled |= fill_boundary(o, (H, W))
-    labeled, n = ndimage.label(mask > 0, structure=np.ones((3, 3), int))
-    expect = np.zeros((H, W), bool)
-    for comp in range(1, n + 1):
-        sel = labeled == comp
-        if sel.sum() >= 3:  # may still trace <3 boundary points; guard below
-            pass
-        expect |= ndimage.binary_fill_holes(sel) if sel.sum() >= 3 else False
-    # our filled coverage equals the filled components that produced rows
     assert (filled & ~ndimage.binary_fill_holes(mask > 0)).sum() == 0
     assert len(CASES) >= 5  # the fixture set stays meaningful

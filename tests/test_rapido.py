@@ -146,3 +146,50 @@ def test_rapido_falls_back_without_weights(patient_dir):
         modelo, _paciente("axial"), epochs=EPOCHS, k_folds=2
     )
     assert ok is False
+
+
+@pytest.mark.slow
+def test_rapido_limpiar_and_pair_consistency(patient_dir):
+    """--rapido --limpiar regenerates the artifacts it owns, an
+    incomplete (volume, json) pair is rewritten WHOLE, and a complete
+    run is a full skip (idempotence like the stage chain)."""
+    from tpu_mslesseg.pipeline import rapido as rapido_mod
+
+    modelo = _modelo("axial")
+    base = Path("pred_vols") / f"{modelo.base_path}_{EPOCHS}epochs" / "fold1"
+    results = Path("results") / f"{modelo.base_path}_{EPOCHS}epochs" / "fold1"
+    vp = base / PID / f"{PID}_axial.nii.gz"
+    rj = results / PID / f"{PID}_axial_results.json"
+
+    ok = rapido_mod.ejecutar_paciente_rapido(
+        modelo, _paciente("axial"), epochs=EPOCHS, k_folds=2
+    )
+    assert ok and vp.exists() and rj.exists()
+    good_vol = nifti.load(vp).get_fdata()
+    good_met = json.loads(rj.read_text())
+
+    # (1) limpiar: plant a bogus volume; it must be REPLACED, not kept
+    nifti.save(np.zeros_like(good_vol), np.eye(4), vp)
+    ok = rapido_mod.ejecutar_paciente_rapido(
+        modelo, _paciente("axial"), epochs=EPOCHS, k_folds=2, limpiar=True
+    )
+    assert ok
+    np.testing.assert_array_equal(nifti.load(vp).get_fdata(), good_vol)
+
+    # (2) incomplete pair: stale volume + missing json -> both rewritten
+    nifti.save(np.zeros_like(good_vol), np.eye(4), vp)
+    rj.unlink()
+    ok = rapido_mod.ejecutar_paciente_rapido(
+        modelo, _paciente("axial"), epochs=EPOCHS, k_folds=2
+    )
+    assert ok
+    np.testing.assert_array_equal(nifti.load(vp).get_fdata(), good_vol)
+    assert json.loads(rj.read_text()) == good_met
+
+    # (3) complete pair: a second run keeps mtimes (full skip)
+    m0 = (vp.stat().st_mtime_ns, rj.stat().st_mtime_ns)
+    ok = rapido_mod.ejecutar_paciente_rapido(
+        modelo, _paciente("axial"), epochs=EPOCHS, k_folds=2
+    )
+    assert ok
+    assert (vp.stat().st_mtime_ns, rj.stat().st_mtime_ns) == m0

@@ -203,6 +203,23 @@ def create_model(nc: int = 1, scale: str = "n", dtype=jnp.float32,
     return YOLO11Seg(cfg=cfg, dtype=dtype, remat=remat), cfg
 
 
+def create_model_from_env():
+    """Serving-model construction from the TPU_MSLESSEG_{DTYPE,SCALE,
+    IMGSZ} env knobs — the ONE resolution the prediction stage and the
+    --rapido fast path both use (their bitwise-equality contract breaks
+    if the two resolve dtype/scale/imgsz independently and drift).
+    Returns (model, cfg, imgsz)."""
+    import os
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        os.environ.get("TPU_MSLESSEG_DTYPE", "bfloat16")
+    ]
+    model, cfg = create_model(
+        nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"), dtype=dtype
+    )
+    return model, cfg, int(os.environ.get("TPU_MSLESSEG_IMGSZ", "640"))
+
+
 def fold_gray_stem(variables):
     """Inference-only variables transform for grayscale inputs.
 

@@ -134,7 +134,7 @@ def ejecutar_pipeline(
         with stage_timer("rapido"):
             ok = rapido_mod.ejecutar_paciente_rapido(
                 modelo, paciente, epochs=epochs, k_folds=modelo.k_folds,
-                umbral=umbral_consenso,
+                umbral=umbral_consenso, limpiar=limpiar,
             )
         if ok:
             logger.header("\n🏁 Pipeline completado (vía rápida).")

@@ -26,7 +26,6 @@ pinned in tests/test_rapido.py.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -47,17 +46,23 @@ def _cargar_variables(config_pred):
 
 def ejecutar_paciente_rapido(
     modelo, paciente, epochs: int = 50, k_folds: int = 5, umbral: int = 2,
+    limpiar: bool = False,
 ) -> bool:
     """Serve one patient through the fused program and write the standard
     volume + metrics artifacts. Returns True on success, False when the
-    preconditions fail (caller falls back to the stage chain)."""
+    preconditions fail (caller falls back to the stage chain).
+
+    Idempotence matches the stage chain: complete (volume, metrics) PAIRS
+    skip; an incomplete pair is rewritten WHOLE from the fresh program so
+    the metrics on disk always describe the volume next to them; and
+    ``limpiar`` invalidates everything this path owns first."""
     import jax
     import jax.numpy as jnp
 
     from tpu_mslesseg.evalx import metrics as mx
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.io import nifti
-    from tpu_mslesseg.model.yolo11 import create_model
+    from tpu_mslesseg.model.yolo11 import create_model_from_env
     from tpu_mslesseg.pipeline.modelo import Modelo
     from tpu_mslesseg.pipeline.paciente import Paciente, calcular_fold
     from tpu_mslesseg.pipeline.paths import (
@@ -110,6 +115,36 @@ def ejecutar_paciente_rapido(
         )
         return False
 
+    # --- artifact pairs this path owns: (volume, metrics json) per plane,
+    # plus the consenso pair when all three planes serve
+    pares = []
+    for plano in planes:
+        paths = eval_cfgs[plano].paths_paciente(pid)
+        pares.append((plano, Path(paths["pred_vol"]), Path(paths["results_json"])))
+    if len(planes) == 3:
+        cc = ConfigConsenso(
+            modelo=modelo, epochs=epochs, k_folds=k_folds,
+            paciente=paciente, umbral=umbral,
+        )
+        me = ConfigEval(
+            modelo=modelo, epochs=epochs, k_folds=k_folds,
+            paciente=paciente, plano_forzado="consenso",
+        )
+        pares.append((
+            "consenso", Path(cc.consenso_path(pid)),
+            Path(me.paths_paciente(pid)["results_json"]),
+        ))
+
+    if limpiar:
+        for _, vol_path, rj in pares:
+            for p in (vol_path, rj):
+                if p.exists():
+                    p.unlink()
+                    logger.info(f"🧹 Eliminado {p}.")
+    elif all(v.exists() and r.exists() for _, v, r in pares):
+        logger.skip(f"⏩ Vía rápida: artefactos completos para {pid}.")
+        return True
+
     # --- GT volume + geometry
     ce = eval_cfgs[modelo.plano]
     gt_path = ce.paths_paciente(pid)["gt_vol"]
@@ -120,14 +155,9 @@ def ejecutar_paciente_rapido(
     gt = gt_img.get_fdata().astype(np.float32)
     affine = gt_img.affine
 
-    # --- the fused program (per-plane weights; consensus iff 3 planes)
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        os.environ.get("TPU_MSLESSEG_DTYPE", "bfloat16")
-    ]
-    model, _ = create_model(
-        nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"), dtype=dtype
-    )
-    imgsz = int(os.environ.get("TPU_MSLESSEG_IMGSZ", "640"))
+    # --- the fused program (per-plane weights; consensus iff 3 planes).
+    # Model resolution shared with the prediction stage (bitwise contract)
+    model, _, imgsz = create_model_from_env()
     cp = ConsensusPredictor(
         model, variables, gt.shape, mejora=modelo.mejora, imgsz=imgsz,
         umbral=umbral, planes=tuple(planes), per_plane_counts=True,
@@ -137,37 +167,19 @@ def ejecutar_paciente_rapido(
     # one host sync for everything (volumes + counts)
     counts, cons, vols = jax.device_get((counts, cons, vols))
 
-    # --- standard artifacts (skip-if-exists, like the stages)
-    for plano in planes:
-        paths = eval_cfgs[plano].paths_paciente(pid)
-        vol_path = Path(paths["pred_vol"])
-        if not vol_path.exists():
-            vol_path.parent.mkdir(parents=True, exist_ok=True)
-            nifti.save(np.asarray(vols[plano], np.float32), affine, vol_path)
-        rj = Path(paths["results_json"])
-        if not rj.exists():
-            met = mx.metrics_from_counts(counts[plano])
-            escribir_json(met, rj)
-            logger.info(f"✅ Métricas ({plano}): {met}")
-
-    if len(planes) == 3:
-        cc = ConfigConsenso(
-            modelo=modelo, epochs=epochs, k_folds=k_folds,
-            paciente=paciente, umbral=umbral,
-        )
-        cons_path = cc.consenso_path(pid)
-        if not cons_path.exists():
-            cons_path.parent.mkdir(parents=True, exist_ok=True)
-            nifti.save(np.asarray(cons, np.float32), affine, cons_path)
-        me = ConfigEval(
-            modelo=modelo, epochs=epochs, k_folds=k_folds,
-            paciente=paciente, plano_forzado="consenso",
-        )
-        rj = Path(me.paths_paciente(pid)["results_json"])
-        if not rj.exists():
-            met = mx.metrics_from_counts(counts["consenso"])
-            escribir_json(met, rj)
-            logger.info(f"✅ Métricas (consenso): {met}")
+    # --- standard artifacts: a complete (volume, json) pair skips; an
+    # incomplete pair is rewritten WHOLE so the metrics on disk always
+    # describe the volume sitting next to them
+    for plano, vol_path, rj in pares:
+        if vol_path.exists() and rj.exists():
+            logger.skip(f"⏩ Par de artefactos existente ({plano}).")
+            continue
+        vol_arr = cons if plano == "consenso" else vols[plano]
+        vol_path.parent.mkdir(parents=True, exist_ok=True)
+        nifti.save(np.asarray(vol_arr, np.float32), affine, vol_path)
+        met = mx.metrics_from_counts(counts[plano])
+        escribir_json(met, rj)
+        logger.info(f"✅ Métricas ({plano}): {met}")
 
     logger.info(
         f"⚡ Vía rápida completada para {pid} "

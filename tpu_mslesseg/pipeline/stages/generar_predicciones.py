@@ -36,19 +36,11 @@ _SLICE_RE = re.compile(r".*_(\d+)(?:_[^_]*)?\.png$")
 
 def cargar_predictor(config: ConfigPred, slice_hw) -> SlicePredictor:
     """Load best checkpoint for the fold and compile the fused predictor."""
-    import os
+    from tpu_mslesseg.model.yolo11 import create_model_from_env
 
-    import jax.numpy as jnp
-
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        os.environ.get("TPU_MSLESSEG_DTYPE", "bfloat16")
-    ]
-    model, _ = create_model(
-        nc=1, scale=os.environ.get("TPU_MSLESSEG_SCALE", "n"), dtype=dtype
-    )
+    model, _, imgsz = create_model_from_env()
     ckpt = checkpoint.load_checkpoint(config.model_path)
     variables = checkpoint.inference_variables(ckpt)
-    imgsz = int(os.environ.get("TPU_MSLESSEG_IMGSZ", "640"))
     return SlicePredictor(model, variables, slice_hw=slice_hw, imgsz=imgsz)
 
 
@@ -182,7 +174,7 @@ def ejecutar_flujo_pred(config: ConfigPred, limpiar=False, verbose=False):
             pendientes.append((pid, despachar_paciente_predicciones(pid, config, cache)))
         except Exception as e:
             logger.warning(f"⚠️ Error prediciendo {pid}, se omite: {e}.")
-        if len(pendientes) > PIPELINE_DEPTH:
+        if len(pendientes) >= PIPELINE_DEPTH:
             _drenar(*pendientes.pop(0))
     for pid, pendiente in pendientes:
         _drenar(pid, pendiente)

@@ -157,7 +157,7 @@ def ejecutar_flujo_recvol(config: ConfigRecVol, limpiar=False, verbose=False):
             pendientes.append((pid, despachar_paciente_vol(pid, config)))
         except Exception as e:
             logger.warning(f"⚠️ Error reconstruyendo {pid}, se omite: {e}.")
-        if len(pendientes) > PIPELINE_DEPTH:
+        if len(pendientes) >= PIPELINE_DEPTH:
             _drenar(*pendientes.pop(0))
     for pid, pendiente in pendientes:
         _drenar(pid, pendiente)

@@ -77,6 +77,28 @@ def load_checkpoint(path, template=None):
     return ckptr.restore(path, template)
 
 
+def load_checkpoint_compat(path, template, optional=("grad_accum",)):
+    """Restore with forward-compatibility for template keys the
+    checkpoint predates. A pre-grad-accumulation ``last.ckpt`` has no
+    'grad_accum' entry; a strict template restore raises, and the
+    caller's except would silently RESTART training — rewriting
+    results.csv and clobbering best.ckpt with epoch-1 weights. Instead:
+    try the full template, and on failure retry with each optional key
+    removed, filling it back from the (freshly-initialized) template
+    value. Returns the restored dict with all template keys present."""
+    try:
+        return load_checkpoint(path, template)
+    except Exception:
+        slim = {k: v for k, v in template.items() if k not in optional}
+        if len(slim) == len(template):
+            raise  # nothing optional to drop: a genuine mismatch
+        restored = load_checkpoint(path, slim)
+        for k in optional:
+            if k in template:
+                restored[k] = template[k]
+        return restored
+
+
 def checkpoint_exists(path) -> bool:
     p = Path(path)
     return p.is_dir() and any(p.iterdir())

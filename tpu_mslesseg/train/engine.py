@@ -152,7 +152,7 @@ def train_fold(
             "grad_accum": state.grad_accum,
         }
         try:
-            restored = checkpoint.load_checkpoint(last_ckpt, template)
+            restored = checkpoint.load_checkpoint_compat(last_ckpt, template)
             state = trainer.TrainState(
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],

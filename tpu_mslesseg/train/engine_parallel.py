@@ -146,7 +146,7 @@ def train_folds_parallel(
             "grad_accum": state.grad_accum,
         }
         try:
-            restored = checkpoint.load_checkpoint(stacked_ckpt, template)
+            restored = checkpoint.load_checkpoint_compat(stacked_ckpt, template)
             state = trainer.TrainState(
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],

@@ -187,7 +187,15 @@ def main():
     tpu_dead = not _tpu_tunnel_alive()
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+        # XLA-CPU AOT cache entries are host-CPU-specific (runtime.py)
+        from tpu_mslesseg.core.runtime import cpu_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+    else:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+        )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model

@@ -150,3 +150,29 @@ def test_results_csv_pg_columns_split_bias_warmup(tmp_path):
     assert pg0 > pg1  # bias lr interpolates down from 0.1 during warmup
     # the CSV stores %.6g
     assert abs(pg0 - float(sched_b(step_in_warmup))) < 1e-6
+
+
+def test_cos_lr_one_cycle():
+    """cos_lr=True follows upstream one_cycle(1, lrf, epochs): cosine
+    from lr0 at epoch 0 to lr0*lrf at the last epoch (post-warmup)."""
+    import numpy as np
+
+    from tpu_mslesseg.train import trainer
+
+    cfg = trainer.TrainConfig(epochs=40, batch_size=64, cos_lr=True,
+                              warmup_epochs=0.0)
+    spe = 10
+    sched = trainer.lr_schedule(cfg, spe)
+    # warmup floor is 100 iters regardless; evaluate past it
+    for epoch in (10, 20, 39):
+        step = epoch * spe
+        lf = ((1 - np.cos(epoch * np.pi / cfg.epochs)) / 2) * (cfg.lrf - 1) + 1
+        np.testing.assert_allclose(float(sched(step)), cfg.lr0 * lf, rtol=1e-4)
+    # midpoint of the cycle = mean of the endpoints
+    np.testing.assert_allclose(
+        float(sched(20 * spe)), cfg.lr0 * (1 + cfg.lrf) / 2, rtol=1e-6
+    )
+    # default stays the linear schedule
+    lin = trainer.lr_schedule(trainer.TrainConfig(epochs=40, batch_size=64), spe)
+    lf_lin = (1 - 20 / 40) * (1 - cfg.lrf) + cfg.lrf
+    np.testing.assert_allclose(float(lin(20 * spe)), cfg.lr0 * lf_lin, rtol=1e-6)

@@ -73,3 +73,49 @@ def test_train_fold_resume(synth_dataset, tmp_path):
     cfg2 = TrainConfig(epochs=10, batch_size=4, imgsz=64, max_fg=8, close_mosaic=1)
     summary = engine.train_fold(cfg=cfg2, **common)
     assert engine.entrenamiento_exitoso(out)
+
+
+def test_patience_and_save_period(synth_dataset, tmp_path, monkeypatch):
+    """Upstream EarlyStopping + save_period semantics (args.yaml:7,10):
+    training breaks once `patience` epochs pass without a fitness
+    improvement, and weights/epoch<N>.ckpt snapshots appear every
+    save_period epochs. Validation is stubbed with a declining fitness so
+    the stop point is deterministic."""
+    import json
+
+    from tpu_mslesseg.train import checkpoint, validate as tval
+
+    fits = [0.5, 0.4, 0.3, 0.2, 0.1, 0.1, 0.1, 0.1]
+    calls = []
+
+    def fake_run_validation(*a, **kw):
+        m = {"map50_m": fits[len(calls)], "map_m": fits[len(calls)]}
+        calls.append(1)
+        out = (m, {"box": 0.0, "seg": 0.0, "cls": 0.0, "dfl": 0.0})
+        return out + ((None,) if kw.get("return_acc") else ())
+
+    monkeypatch.setattr(tval, "run_validation", fake_run_validation)
+
+    out = tmp_path / "foldp"
+    cfg = TrainConfig(epochs=8, batch_size=4, imgsz=64, max_fg=8,
+                      close_mosaic=0, patience=3, save_period=2, plots=False)
+    model, _ = create_model(nc=1, scale="n")
+    engine.train_fold(
+        model=model, fold_test=1, patients=["P1", "P2", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=6,
+        dataset_dir=synth_dataset, output_dir=out, cfg=cfg, k_folds=2,
+    )
+    with open(out / "results.csv") as f:
+        rows = list(csv.reader(f))
+    # best fitness at epoch 1 -> stop at epoch 1 + patience = 4
+    assert [r[0] for r in rows[1:]] == ["1", "2", "3", "4"]
+    w = out / "weights"
+    assert checkpoint.checkpoint_exists(w / "best.ckpt")
+    assert checkpoint.checkpoint_exists(w / "last.ckpt")  # saved at the break
+    # periodic snapshots at epochs 2 and 4, none past the stop
+    assert checkpoint.checkpoint_exists(w / "epoch2.ckpt")
+    assert checkpoint.checkpoint_exists(w / "epoch4.ckpt")
+    assert not checkpoint.checkpoint_exists(w / "epoch6.ckpt")
+    note = json.loads((w / "fitness.json").read_text())
+    assert note["best_epoch"] == 1
+    assert abs(note["best_fitness"] - 0.5) < 1e-9

@@ -228,3 +228,68 @@ def test_train_folds_parallel_resume(tmp_path, rng):
         with open(tmp_path / "out" / f"fold{k}" / "results.csv") as f:
             rows = list(csv.reader(f))
         assert [r[0] for r in rows[1:]] == ["1", "2", "3", "4"]
+
+
+def test_parallel_patience_collective_stop(tmp_path, rng, monkeypatch):
+    """Fold-parallel early stopping is collective (the folds advance in
+    lockstep inside one program): the loop breaks only once EVERY
+    validated fold has gone `patience` epochs without improving, and
+    save_period snapshots appear per fold. Validation is stubbed with
+    per-fold fitness traces so the stop epoch is deterministic."""
+    import csv
+    import json
+
+    from tpu_mslesseg.io import nifti
+    from tpu_mslesseg.train import checkpoint, engine_parallel
+    from tpu_mslesseg.train import validate as tval
+
+    shape = (24, 28, 24)
+    ds = tmp_path / "MSLesSeg-Dataset" / "train"
+    for pid in ("P1", "P30"):  # folds 1 and 2 of 2
+        vol = rng.normal(800, 150, shape).astype(np.float32)
+        mask = np.zeros(shape, np.float32)
+        mask[6:14, 8:18, 4:20] = 1
+        nifti.save(vol, np.eye(4), ds / pid / "T1" / f"{pid}_T1_FLAIR.nii.gz")
+        nifti.save(mask, np.eye(4), ds / pid / "T1" / f"{pid}_T1_MASK.nii.gz")
+
+    # fold1 peaks at epoch 1, fold2 at epoch 2; patience=2 -> fold1
+    # stalls at epoch 3 but training continues until fold2 stalls at 4
+    fits = {0: [0.5, 0.4, 0.3, 0.2, 0.1, 0.1], 1: [0.3, 0.4, 0.2, 0.1, 0.05, 0.05]}
+    epoch_calls = []
+
+    def fake_dispatch(model, variables, val_set, loss_cfg, **kw):
+        # fold order within an epoch is the enumeration order
+        epoch_calls.append(0)
+        fold = (len(epoch_calls) - 1) % 2
+        return jnp.asarray(fold)
+
+    def fake_collect(fetched, return_acc=False):
+        fold = int(fetched)
+        ep = (len(epoch_calls) - 1) // 2  # completed epochs
+        m = {"map50_m": fits[fold][ep], "map_m": fits[fold][ep]}
+        out = (m, {"box": 0.0, "seg": 0.0, "cls": 0.0, "dfl": 0.0})
+        return out + ((None,) if return_acc else ())
+
+    monkeypatch.setattr(tval, "dispatch_validation", fake_dispatch)
+    monkeypatch.setattr(tval, "collect_validation", fake_collect)
+
+    cfg = TrainConfig(epochs=8, batch_size=2, imgsz=64, max_fg=8,
+                      close_mosaic=0, patience=2, save_period=2, plots=False)
+    model, _ = create_model(nc=1, scale="n")
+    engine_parallel.train_folds_parallel(
+        model=model, patients=["P1", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=4,
+        dataset_dir=ds, output_root=tmp_path / "out", cfg=cfg, k_folds=2,
+    )
+    for k, best_ep in ((1, 1), (2, 2)):
+        out = tmp_path / "out" / f"fold{k}"
+        with open(out / "results.csv") as f:
+            rows = list(csv.reader(f))
+        assert [r[0] for r in rows[1:]] == ["1", "2", "3", "4"], k
+        w = out / "weights"
+        assert checkpoint.checkpoint_exists(w / "best.ckpt")
+        assert checkpoint.checkpoint_exists(w / "last.ckpt")
+        assert checkpoint.checkpoint_exists(w / "epoch2.ckpt")
+        assert checkpoint.checkpoint_exists(w / "epoch4.ckpt")
+        assert not checkpoint.checkpoint_exists(w / "epoch6.ckpt")
+        assert json.loads((w / "fitness.json").read_text())["best_epoch"] == best_ep

@@ -52,8 +52,17 @@ def cpu_cache_dir(base: str = "/root/.cache/jax_comp_cache") -> str:
 
     try:
         cpuinfo = open("/proc/cpuinfo").read()
-        m = re.search(r"^flags\s*:\s*(.*)$", cpuinfo, re.M)
-        sig = m.group(1) if m else platform.machine()
+        # flags alone under-key the cache: LLVM derives tuning features
+        # (e.g. +prefer-no-scatter) from CPUID family/model/stepping, so
+        # two hosts with identical flags can still produce incompatible
+        # AOT entries (seen as feature-mismatch warnings on load)
+        parts = []
+        for field in ("vendor_id", "cpu family", "model", "stepping",
+                      "model name", "flags"):
+            m = re.search(rf"^{field}\s*:\s*(.*)$", cpuinfo, re.M)
+            if m:
+                parts.append(f"{field}={m.group(1)}")
+        sig = ";".join(parts) if parts else platform.machine()
     except OSError:
         sig = platform.machine()
     tag = hashlib.sha1(sig.encode()).hexdigest()[:12]

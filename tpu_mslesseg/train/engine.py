@@ -214,12 +214,15 @@ def train_fold(
     val_acc = None  # last validation's accumulator (for curve plots)
     fitness_file = weights / "fitness.json"
     best_fit = -1.0
+    # stopper state (upstream EarlyStopping): the epoch of the last
+    # fitness improvement; a resume without it must not false-stop
+    best_epoch = start_epoch - 1
     if start_epoch > 1:
         if fitness_file.exists():
             try:
-                best_fit = float(
-                    json.loads(fitness_file.read_text())["best_fitness"]
-                )
+                note = json.loads(fitness_file.read_text())
+                best_fit = float(note["best_fitness"])
+                best_epoch = int(note.get("best_epoch", best_epoch))
             except (ValueError, KeyError, TypeError):
                 pass
         if best_fit < 0 and checkpoint.checkpoint_exists(weights / "best.ckpt"):
@@ -285,15 +288,30 @@ def train_fold(
         # 10 epochs + final; best only on fitness improvement
         if epoch % 10 == 0 or epoch == cfg.epochs:
             checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
+        if cfg.save_period > 0 and epoch % cfg.save_period == 0:
+            # periodic snapshots (upstream save_period: weights/epoch<N>.pt)
+            checkpoint.save_checkpoint(weights / f"epoch{epoch}.ckpt", state)
         if val_metrics and fit >= best_fit:
             best_fit = fit
+            best_epoch = epoch
             # orbax saves are collective: EVERY process calls them;
             # the plain-file fitness note is process-0 only
             checkpoint.save_checkpoint(weights / "best.ckpt", state)
             from tpu_mslesseg.core import distributed
 
             if distributed.is_main_process():
-                fitness_file.write_text(json.dumps({"best_fitness": best_fit}))
+                fitness_file.write_text(json.dumps(
+                    {"best_fitness": best_fit, "best_epoch": best_epoch}
+                ))
+        if val_metrics and cfg.patience > 0 and epoch - best_epoch >= cfg.patience:
+            # upstream EarlyStopping: no fitness improvement in `patience`
+            # validated epochs; keep a resumable last.ckpt at the break
+            logger.info(
+                f"🛑 Detención temprana en la época {epoch}: sin mejora de "
+                f"fitness desde la época {best_epoch} (patience={cfg.patience})."
+            )
+            checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
+            break
 
     if best_fit < 0 and not checkpoint.checkpoint_exists(weights / "best.ckpt"):
         # no validation ever ran AND no previous best exists: final

@@ -198,7 +198,7 @@ def train_folds_parallel(
     # --- per-fold artifacts: writers, val sets, persisted fitness ---
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
     val_step = validate.make_val_step(model, loss_cfg)
-    fold_dirs, writers, val_sets, best_fits = [], [], [], []
+    fold_dirs, writers, val_sets, best_fits, best_epochs = [], [], [], [], []
     for f in range(k_folds):
         out = output_root / f"fold{f + 1}"
         (out / "weights").mkdir(parents=True, exist_ok=True)
@@ -215,17 +215,20 @@ def train_folds_parallel(
         except (ValueError, FileNotFoundError) as e:
             logger.warning(f"⚠️ Fold {f + 1} sin cortes de validación: {e}")
             val_sets.append(None)
-        bf = -1.0
+        bf, be = -1.0, start_epoch - 1
         if start_epoch > 1:
             ff = out / "weights" / "fitness.json"
             if ff.exists():
                 try:
-                    bf = float(json.loads(ff.read_text())["best_fitness"])
+                    note = json.loads(ff.read_text())
+                    bf = float(note["best_fitness"])
+                    be = int(note.get("best_epoch", be))
                 except (ValueError, KeyError, TypeError):
                     pass
             if bf < 0 and checkpoint.checkpoint_exists(out / "weights" / "best.ckpt"):
                 bf = 0.0
         best_fits.append(bf)
+        best_epochs.append(be)
 
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
     sched_bias = trainer.lr_schedule(
@@ -285,6 +288,7 @@ def train_folds_parallel(
                 map50s.append(val_metrics.get("map50_m", 0.0))
                 if val_metrics and fit >= best_fits[f]:
                     best_fits[f] = fit
+                    best_epochs[f] = epoch
                     fold_state = fold_parallel.extract_fold_state(state, f)
                     # orbax saves are collective (all processes); the
                     # plain-file fitness note is process-0 only
@@ -293,7 +297,10 @@ def train_folds_parallel(
                     )
                     if distributed.is_main_process():
                         (fold_dirs[f] / "weights" / "fitness.json").write_text(
-                            json.dumps({"best_fitness": best_fits[f]})
+                            json.dumps({
+                                "best_fitness": best_fits[f],
+                                "best_epoch": best_epochs[f],
+                            })
                         )
             logger.info(
                 f"🏋️ Época {epoch}/{cfg.epochs}: pérdida media "
@@ -313,6 +320,35 @@ def train_folds_parallel(
                         fold_dirs[f] / "weights" / "last.ckpt",
                         fold_parallel.extract_fold_state(state, f),
                     )
+            if cfg.save_period > 0 and epoch % cfg.save_period == 0:
+                # periodic per-fold snapshots (upstream save_period)
+                for f in range(k_folds):
+                    checkpoint.save_checkpoint(
+                        fold_dirs[f] / "weights" / f"epoch{epoch}.ckpt",
+                        fold_parallel.extract_fold_state(state, f),
+                    )
+            if do_val and cfg.patience > 0:
+                # folds advance in lockstep inside ONE program, so early
+                # stopping is collective: break once EVERY validated fold
+                # has gone `patience` epochs without a fitness improvement
+                # (each fold's best.ckpt was already saved at its peak)
+                stalled = [
+                    epoch - best_epochs[f] >= cfg.patience
+                    for f in range(k_folds) if val_sets[f] is not None
+                ]
+                if stalled and all(stalled):
+                    logger.info(
+                        f"🛑 Detención temprana en la época {epoch}: ningún "
+                        f"fold mejora desde hace {cfg.patience} épocas "
+                        f"(mejores épocas {best_epochs[:k_folds]})."
+                    )
+                    checkpoint.save_checkpoint(stacked_ckpt, state, include_opt=True)
+                    for f in range(k_folds):
+                        checkpoint.save_checkpoint(
+                            fold_dirs[f] / "weights" / "last.ckpt",
+                            fold_parallel.extract_fold_state(state, f),
+                        )
+                    break
 
     summary = {}
     for f in range(k_folds):

@@ -57,6 +57,17 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     close_mosaic: int = 10
+    # early stopping on fitness plateau (args.yaml:7 patience: 100 — it
+    # never fires in a 50-epoch run, but the stopper is part of the
+    # upstream loop: stop once ``epoch - best_epoch >= patience``, where
+    # best_epoch tracks the fitness improvements that also gate best.ckpt)
+    patience: int = 100
+    # periodic epoch checkpoints (args.yaml:10 save_period: -1 = off);
+    # >0 writes weights/epoch<N>.ckpt every N epochs like upstream
+    save_period: int = -1
+    # cosine LR decay (args.yaml:24 cos_lr: false — upstream one_cycle
+    # lambda when enabled; the reference runs use the linear default)
+    cos_lr: bool = False
     imgsz: int = 640
     seed: int = 0
     max_fg: int = 64
@@ -102,7 +113,13 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, start: float = 0.0):
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
         epoch = jnp.floor(step / steps_per_epoch)
-        lf = (1.0 - epoch / cfg.epochs) * (1.0 - cfg.lrf) + cfg.lrf
+        if cfg.cos_lr:
+            # upstream one_cycle(1, lrf, epochs)
+            lf = ((1.0 - jnp.cos(epoch * jnp.pi / cfg.epochs)) / 2.0) * (
+                cfg.lrf - 1.0
+            ) + 1.0
+        else:
+            lf = (1.0 - epoch / cfg.epochs) * (1.0 - cfg.lrf) + cfg.lrf
         frac = jnp.clip(step / warm, 0.0, 1.0)
         return start * (1.0 - frac) + cfg.lr0 * lf * frac
 

@@ -187,15 +187,15 @@ def main():
     tpu_dead = not _tpu_tunnel_alive()
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")
-        # XLA-CPU AOT cache entries are host-CPU-specific (runtime.py)
-        from tpu_mslesseg.core.runtime import cpu_cache_dir
+    # XLA-CPU AOT cache entries are host-CPU-specific (runtime.py) — key
+    # on the RESOLVED backend, not tunnel liveness: a host with no axon
+    # plugin at all still runs XLA-CPU and must not write the shared dir
+    from tpu_mslesseg.core.runtime import cpu_cache_dir, enable_compilation_cache
 
-        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+    if jax.default_backend() == "cpu":
+        enable_compilation_cache(cpu_cache_dir())
     else:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
-        )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        enable_compilation_cache()
 
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model

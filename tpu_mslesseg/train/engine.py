@@ -230,7 +230,24 @@ def train_fold(
             # crash between saves): require a non-trivial improvement
             # before overwriting it
             best_fit = 0.0
+    from tpu_mslesseg.core import distributed
 
+    if distributed.process_count() > 1:
+        # fitness.json is process-0-only: without a shared filesystem the
+        # workers would resume divergent stopper/best state, and a
+        # divergent best-save or patience break deadlocks the collective
+        # orbax saves / train steps — broadcast process 0's view
+        from jax.experimental import multihost_utils
+
+        best_fit, be = map(float, multihost_utils.broadcast_one_to_all(
+            np.asarray([best_fit, float(best_epoch)], np.float32)
+        ))
+        best_epoch = int(be)
+
+    # validations since the last improvement (resume: reconstruct from the
+    # persisted best_epoch and the validation cadence)
+    vals_since_best = max(0, (start_epoch - 1 - best_epoch) // max(val_every, 1))
+    epochs_run = start_epoch - 1
     for epoch in range(start_epoch, cfg.epochs + 1):
         use_mosaic = epoch <= cfg.epochs - cfg.close_mosaic
         key, k_epoch = jax.random.split(key)
@@ -286,7 +303,8 @@ def train_fold(
 
         # checkpoint IO (~1s) would dominate sub-second epochs: last every
         # 10 epochs + final; best only on fitness improvement
-        if epoch % 10 == 0 or epoch == cfg.epochs:
+        saved_last = epoch % 10 == 0 or epoch == cfg.epochs
+        if saved_last:
             checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
         if cfg.save_period > 0 and epoch % cfg.save_period == 0:
             # periodic snapshots (upstream save_period: weights/epoch<N>.pt)
@@ -294,23 +312,30 @@ def train_fold(
         if val_metrics and fit >= best_fit:
             best_fit = fit
             best_epoch = epoch
+            vals_since_best = 0
             # orbax saves are collective: EVERY process calls them;
             # the plain-file fitness note is process-0 only
             checkpoint.save_checkpoint(weights / "best.ckpt", state)
-            from tpu_mslesseg.core import distributed
-
             if distributed.is_main_process():
                 fitness_file.write_text(json.dumps(
                     {"best_fitness": best_fit, "best_epoch": best_epoch}
                 ))
-        if val_metrics and cfg.patience > 0 and epoch - best_epoch >= cfg.patience:
-            # upstream EarlyStopping: no fitness improvement in `patience`
-            # validated epochs; keep a resumable last.ckpt at the break
+        elif val_metrics:
+            vals_since_best += 1
+        epochs_run = epoch
+        if val_metrics and cfg.patience > 0 and vals_since_best >= cfg.patience:
+            # upstream EarlyStopping: `patience` validated epochs without
+            # a fitness improvement (counting validations, not raw epochs
+            # — improvements can only register when validation runs);
+            # keep a resumable last.ckpt at the break
             logger.info(
                 f"🛑 Detención temprana en la época {epoch}: sin mejora de "
                 f"fitness desde la época {best_epoch} (patience={cfg.patience})."
             )
-            checkpoint.save_checkpoint(weights / "last.ckpt", state, include_opt=True)
+            if not saved_last:
+                checkpoint.save_checkpoint(
+                    weights / "last.ckpt", state, include_opt=True
+                )
             break
 
     if best_fit < 0 and not checkpoint.checkpoint_exists(weights / "best.ckpt"):
@@ -361,7 +386,8 @@ def train_fold(
 
     return {
         "best_fitness": best_fit,
-        "epochs": cfg.epochs,
+        # epochs actually trained (< cfg.epochs when patience fired)
+        "epochs": epochs_run,
         "train_slices": len(train_set),
         "val_slices": len(val_set) if val_set else 0,
         "weights_dir": str(weights),

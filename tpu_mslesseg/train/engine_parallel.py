@@ -229,6 +229,21 @@ def train_folds_parallel(
                 bf = 0.0
         best_fits.append(bf)
         best_epochs.append(be)
+    if distributed.process_count() > 1:
+        # per-fold fitness.json is process-0-only: broadcast process 0's
+        # resumed stopper/best state so a divergent best-save or patience
+        # break can't deadlock the collective saves/steps
+        from jax.experimental import multihost_utils
+
+        flat = multihost_utils.broadcast_one_to_all(
+            np.asarray(best_fits + [float(e) for e in best_epochs], np.float32)
+        )
+        best_fits = [float(x) for x in flat[:k_folds]]
+        best_epochs = [int(x) for x in flat[k_folds:]]
+    # validations since each fold's last improvement (resume reconstruction)
+    vals_since_best = [
+        max(0, (start_epoch - 1 - be) // max(val_every, 1)) for be in best_epochs
+    ]
 
     sched = trainer.lr_schedule(cfg, steps_per_epoch)
     sched_bias = trainer.lr_schedule(
@@ -289,6 +304,7 @@ def train_folds_parallel(
                 if val_metrics and fit >= best_fits[f]:
                     best_fits[f] = fit
                     best_epochs[f] = epoch
+                    vals_since_best[f] = 0
                     fold_state = fold_parallel.extract_fold_state(state, f)
                     # orbax saves are collective (all processes); the
                     # plain-file fitness note is process-0 only
@@ -302,6 +318,8 @@ def train_folds_parallel(
                                 "best_epoch": best_epochs[f],
                             })
                         )
+                elif val_metrics:
+                    vals_since_best[f] += 1
             logger.info(
                 f"🏋️ Época {epoch}/{cfg.epochs}: pérdida media "
                 f"{float(np.mean(train_losses['box'][:k_folds])):.3f}/"
@@ -313,7 +331,8 @@ def train_folds_parallel(
 
             # checkpoint IO dominates sub-second epochs: stacked resume
             # point + per-fold last every 10 epochs and at the end
-            if epoch % 10 == 0 or epoch == cfg.epochs:
+            saved_last = epoch % 10 == 0 or epoch == cfg.epochs
+            if saved_last:
                 checkpoint.save_checkpoint(stacked_ckpt, state, include_opt=True)
                 for f in range(k_folds):
                     checkpoint.save_checkpoint(
@@ -330,24 +349,27 @@ def train_folds_parallel(
             if do_val and cfg.patience > 0:
                 # folds advance in lockstep inside ONE program, so early
                 # stopping is collective: break once EVERY validated fold
-                # has gone `patience` epochs without a fitness improvement
-                # (each fold's best.ckpt was already saved at its peak)
+                # has gone `patience` validations without a fitness
+                # improvement (each fold's best.ckpt was saved at its peak)
                 stalled = [
-                    epoch - best_epochs[f] >= cfg.patience
+                    vals_since_best[f] >= cfg.patience
                     for f in range(k_folds) if val_sets[f] is not None
                 ]
                 if stalled and all(stalled):
                     logger.info(
                         f"🛑 Detención temprana en la época {epoch}: ningún "
-                        f"fold mejora desde hace {cfg.patience} épocas "
+                        f"fold mejora desde hace {cfg.patience} validaciones "
                         f"(mejores épocas {best_epochs[:k_folds]})."
                     )
-                    checkpoint.save_checkpoint(stacked_ckpt, state, include_opt=True)
-                    for f in range(k_folds):
+                    if not saved_last:
                         checkpoint.save_checkpoint(
-                            fold_dirs[f] / "weights" / "last.ckpt",
-                            fold_parallel.extract_fold_state(state, f),
+                            stacked_ckpt, state, include_opt=True
                         )
+                        for f in range(k_folds):
+                            checkpoint.save_checkpoint(
+                                fold_dirs[f] / "weights" / "last.ckpt",
+                                fold_parallel.extract_fold_state(state, f),
+                            )
                     break
 
     summary = {}

@@ -59,8 +59,9 @@ class TrainConfig:
     close_mosaic: int = 10
     # early stopping on fitness plateau (args.yaml:7 patience: 100 — it
     # never fires in a 50-epoch run, but the stopper is part of the
-    # upstream loop: stop once ``epoch - best_epoch >= patience``, where
-    # best_epoch tracks the fitness improvements that also gate best.ckpt)
+    # upstream loop): stop after `patience` VALIDATED epochs without a
+    # fitness improvement — identical to upstream's epoch count when
+    # validation runs every epoch, still well-defined at val_every > 1
     patience: int = 100
     # periodic epoch checkpoints (args.yaml:10 save_period: -1 = off);
     # >0 writes weights/epoch<N>.ckpt every N epochs like upstream

@@ -121,3 +121,88 @@ def test_val_config_is_deterministic_letterbox(tiny_dataset):
     # different keys, identical output: no randomness in the val path
     np.testing.assert_allclose(np.asarray(b1["images"]), np.asarray(b2["images"]))
     np.testing.assert_array_equal(np.asarray(b1["instmap"]), np.asarray(b2["instmap"]))
+
+
+def test_mosaic_affine_matches_ultralytics_transcription(rng):
+    """Differential parity for the composed augmentation geometry: our
+    single-gather-program mosaic+affine+flip+gain vs a literal NumPy
+    transcription of upstream Mosaic._mosaic4 + RandomPerspective
+    (tests/ultralytics_np.py), with identical injected draws (integer
+    mosaic centers — upstream casts them to int). Bilinear/nearest
+    blending differs only in a 1-px band at tile seams (upstream blends
+    across the pasted canvas; we sample per tile), so equality is
+    asserted off-seam and the on-seam mismatch fraction is bounded."""
+    import ultralytics_np as unp
+    from tpu_mslesseg.train.augment import _AugParams, _apply_mosaic
+
+    S, I, max_inst = 32, 4, 4
+    for trial in range(12):
+        H, W = (S, S) if trial % 2 == 0 else (24, 20)
+        imgs = rng.integers(0, 255, (4, H, W)).astype(np.float32)
+        insts = np.zeros((4, H, W), np.uint8)
+        boxes = np.zeros((4, I, 4), np.float32)
+        valid = np.zeros((4, I), bool)
+        for k in range(4):
+            for i in range(rng.integers(1, I + 1)):
+                x1 = rng.integers(0, W - 8); y1 = rng.integers(0, H - 8)
+                x2 = x1 + rng.integers(5, min(16, W - x1))
+                y2 = y1 + rng.integers(5, min(16, H - y1))
+                insts[k, y1:y2, x1:x2] = i + 1
+                boxes[k, i] = (x1, y1, x2, y2)
+                valid[k, i] = True
+
+        yc = int(rng.integers(S // 2, 3 * S // 2 + 1))
+        xc = int(rng.integers(S // 2, 3 * S // 2 + 1))
+        s = float(rng.uniform(0.5, 1.5))
+        tx = float(rng.uniform(0.4, 0.6)) * S
+        ty = float(rng.uniform(0.4, 0.6)) * S
+        flip = float(rng.uniform())
+        gain = float(rng.uniform(0.6, 1.4))
+
+        cfg = augment.AugConfig(imgsz=S, max_inst=max_inst, mosaic=True)
+        p = _AugParams(*(jnp.asarray(v, jnp.float32)
+                         for v in (yc, xc, s, tx, ty, flip, gain)))
+        img_j, inst_j, box_j, ok_j = jax.jit(
+            _apply_mosaic, static_argnames="cfg"
+        )(p, jnp.asarray(imgs), jnp.asarray(insts), jnp.asarray(boxes),
+          jnp.asarray(valid), cfg)
+
+        img_r, inst_r, box_r, ok_r = unp.mosaic_affine_reference(
+            imgs, insts, boxes, valid, yc, xc, s, tx, ty, flip, gain,
+            S, max_inst,
+        )
+
+        # canvas-coordinate seam band: sample coords within 1px of a tile
+        # or canvas boundary (pre-flip output order; flip both masks)
+        ys = (np.arange(S) - ty) / s + S
+        xs = (np.arange(S) - tx) / s + S
+        yb = [0.0, yc - H, yc, yc + H, 2.0 * S]
+        xb = [0.0, xc - W, xc, xc + W, 2.0 * S]
+        seam_y = np.min(np.abs(ys[:, None] - np.asarray(yb)[None]), 1) <= 1.0
+        seam_x = np.min(np.abs(xs[:, None] - np.asarray(xb)[None]), 1) <= 1.0
+        seam = seam_y[:, None] | seam_x[None, :]
+        if flip < cfg.fliplr:
+            seam = seam[:, ::-1]
+
+        img_j = np.asarray(img_j)
+        inst_j = np.asarray(inst_j)
+        np.testing.assert_allclose(
+            img_j[~seam], img_r[~seam], atol=0.25,
+            err_msg=f"trial {trial} off-seam image",
+        )
+        np.testing.assert_array_equal(inst_j[~seam], inst_r[~seam])
+        # the seam band itself is a bounded fraction of the frame
+        assert seam.mean() < 0.6, (trial, seam.mean())
+
+        np.testing.assert_allclose(
+            np.asarray(box_j), box_r, atol=0.02,
+            err_msg=f"trial {trial} boxes",
+        )
+        # candidate filter: compare where the reference criteria are not
+        # borderline (f32 vs f64 could flip an exact-threshold case)
+        w2 = box_r[:, 2] - box_r[:, 0]
+        h2 = box_r[:, 3] - box_r[:, 1]
+        clear = (np.abs(w2 - 2) > 0.05) & (np.abs(h2 - 2) > 0.05)
+        np.testing.assert_array_equal(
+            np.asarray(ok_j)[clear], ok_r[clear], err_msg=f"trial {trial} valid"
+        )

@@ -396,3 +396,130 @@ def v8_segmentation_loss(
     }
     total = sum(comp.values()) * B
     return total, comp
+
+
+# --- augmentation geometry (Mosaic + RandomPerspective) -----------------
+# Transcribed from ultralytics/data/augment.py: Mosaic._mosaic4 (integer
+# center, quadrant-cropped pastes onto a 2S canvas filled 114) and
+# RandomPerspective.__call__ specialized to the reference's
+# degrees=shear=perspective=0 (M = T @ S @ C), cv2.warpAffine semantics
+# (bilinear, BORDER_CONSTANT 114; integer-grid convention), followed by
+# box clipping and box_candidates (wh 2, ar 100, area_thr 0.01 — the
+# segments branch). Dense-instance equivalent of the label bookkeeping:
+# tile k's instance IDs offset by k*max_inst (overlap_mask=True).
+
+
+def mosaic4_paste_np(images, instmaps, boxes, valid, yc, xc, imgsz, max_inst):
+    """images [4,H,W] f32, instmaps [4,H,W] uint8, boxes [4,I,4] xyxy in
+    source pixels, valid [4,I]; integer mosaic center (yc, xc).
+    Returns canvas [2S,2S], icanvas [2S,2S], boxes2 [4I,4], valid2 [4I]."""
+    S = imgsz
+    H, W = images.shape[1], images.shape[2]
+    canvas = np.full((2 * S, 2 * S), 114.0, np.float32)
+    icanvas = np.zeros((2 * S, 2 * S), np.int64)
+    out_boxes, out_valid = [], []
+    for k in range(4):
+        if k == 0:  # top left
+            x1a, y1a, x2a, y2a = max(xc - W, 0), max(yc - H, 0), xc, yc
+            x1b, y1b, x2b, y2b = W - (x2a - x1a), H - (y2a - y1a), W, H
+        elif k == 1:  # top right
+            x1a, y1a, x2a, y2a = xc, max(yc - H, 0), min(xc + W, 2 * S), yc
+            x1b, y1b, x2b, y2b = 0, H - (y2a - y1a), min(W, x2a - x1a), H
+        elif k == 2:  # bottom left
+            x1a, y1a, x2a, y2a = max(xc - W, 0), yc, xc, min(2 * S, yc + H)
+            x1b, y1b, x2b, y2b = W - (x2a - x1a), 0, W, min(y2a - y1a, H)
+        else:  # bottom right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + W, 2 * S), min(2 * S, yc + H)
+            x1b, y1b, x2b, y2b = 0, 0, min(W, x2a - x1a), min(y2a - y1a, H)
+        canvas[y1a:y2a, x1a:x2a] = images[k, y1b:y2b, x1b:x2b]
+        im = instmaps[k, y1b:y2b, x1b:x2b].astype(np.int64)
+        icanvas[y1a:y2a, x1a:x2a] = np.where(im > 0, im + k * max_inst, 0)
+        padw, padh = x1a - x1b, y1a - y1b
+        b = boxes[k].astype(np.float64).copy()
+        b[:, [0, 2]] += padw
+        b[:, [1, 3]] += padh
+        out_boxes.append(b)
+        out_valid.append(valid[k])
+    return canvas, icanvas, np.concatenate(out_boxes), np.concatenate(out_valid)
+
+
+def _bilinear_np(canvas, ys, xs, fill):
+    """cv2-style bilinear sampling at outer grid ys x xs with constant
+    border `fill` (each of the 4 neighbors contributes `fill` when it
+    falls outside the canvas)."""
+    Hc, Wc = canvas.shape
+    out = np.empty((len(ys), len(xs)), np.float64)
+    for a, y in enumerate(ys):
+        y0 = int(np.floor(y))
+        wy = y - y0
+        for b, x in enumerate(xs):
+            x0 = int(np.floor(x))
+            wx = x - x0
+            acc = 0.0
+            for dy, wyy in ((0, 1 - wy), (1, wy)):
+                for dx, wxx in ((0, 1 - wx), (1, wx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    v = (
+                        canvas[yy, xx]
+                        if 0 <= yy < Hc and 0 <= xx < Wc
+                        else fill
+                    )
+                    acc += wyy * wxx * v
+            out[a, b] = acc
+    return out
+
+
+def random_affine_np(canvas, icanvas, boxes2, valid2, s, tx, ty, imgsz):
+    """RandomPerspective with only scale+translate active. Inverse map of
+    M = T @ S @ C: out pixel p -> (p - t)/s + C/2 on the canvas."""
+    S = imgsz
+    Cc = canvas.shape[0]
+    ys = (np.arange(S) - ty) / s + Cc / 2.0
+    xs = (np.arange(S) - tx) / s + Cc / 2.0
+    img = _bilinear_np(canvas, ys, xs, 114.0)
+    # nearest for the instance map, 0 outside the canvas
+    yi = np.round(ys).astype(np.int64)
+    xi = np.round(xs).astype(np.int64)
+    yv = (yi >= 0) & (yi < Cc)
+    xv = (xi >= 0) & (xi < Cc)
+    inst = np.zeros((S, S), np.int64)
+    inst[np.ix_(yv, xv)] = icanvas[np.ix_(yi[yv], xi[xv])]
+    # boxes: corners through the forward map, clip, box_candidates
+    b = boxes2.astype(np.float64)
+    nb = np.empty_like(b)
+    nb[:, [0, 2]] = (b[:, [0, 2]] - Cc / 2.0) * s + tx
+    nb[:, [1, 3]] = (b[:, [1, 3]] - Cc / 2.0) * s + ty
+    nb[:, [0, 2]] = np.clip(nb[:, [0, 2]], 0, S)
+    nb[:, [1, 3]] = np.clip(nb[:, [1, 3]], 0, S)
+    eps = 1e-16
+    w1 = (b[:, 2] - b[:, 0]) * s
+    h1 = (b[:, 3] - b[:, 1]) * s
+    w2 = nb[:, 2] - nb[:, 0]
+    h2 = nb[:, 3] - nb[:, 1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    ok = (
+        valid2
+        & (w2 > 2)
+        & (h2 > 2)
+        & (ar < 100)
+        & (w2 * h2 / (w1 * h1 + eps) > 0.01)
+    )
+    return img, inst, nb, ok
+
+
+def mosaic_affine_reference(images, instmaps, boxes, valid, yc, xc, s, tx,
+                            ty, flip, gain, imgsz, max_inst, fliplr=0.5):
+    """The full upstream augmentation chain for one mosaic sample
+    (integer center), ending with fliplr and the grayscale reduction of
+    the HSV value jitter."""
+    canvas, icanvas, b2, v2 = mosaic4_paste_np(
+        images, instmaps, boxes, valid, yc, xc, imgsz, max_inst
+    )
+    img, inst, nb, ok = random_affine_np(canvas, icanvas, b2, v2, s, tx, ty, imgsz)
+    S = imgsz
+    if flip < fliplr:
+        img = img[:, ::-1]
+        inst = inst[:, ::-1]
+        nb = np.stack([S - nb[:, 2], nb[:, 1], S - nb[:, 0], nb[:, 3]], -1)
+    img = np.clip(img * gain, 0, 255)
+    return img, inst, nb, ok

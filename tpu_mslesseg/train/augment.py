@@ -13,7 +13,14 @@ Instance bookkeeping: each source slice carries a uint8 instance-ID map and
 per-instance boxes; tile k's IDs are offset by k*max_inst so the mosaic
 keeps every instance distinct (matching overlap_mask=True semantics).
 Boxes are transformed analytically (exact for scale/translate/flip),
-clipped, and degenerate remnants dropped.
+clipped, and filtered with upstream's box_candidates criteria.
+
+Differentially pinned against a literal NumPy transcription of upstream
+Mosaic._mosaic4 + RandomPerspective with injected draws
+(tests/test_augment.py::test_mosaic_affine_matches_ultralytics_transcription).
+Two knowing deviations: mosaic centers are continuous (upstream casts the
+same uniform to int), and pixels within ~1px of a tile seam sample only
+their own tile (upstream's warp blends across the pasted canvas seam).
 """
 
 from __future__ import annotations
@@ -60,6 +67,38 @@ def _nearest_matrix(coords, size: int):
     return W * inb[:, None], inb
 
 
+class _AugParams(NamedTuple):
+    """One sample's augmentation draws (canvas center, affine, flip
+    uniform, brightness gain) — injectable for differential tests."""
+
+    yc: jnp.ndarray
+    xc: jnp.ndarray
+    s: jnp.ndarray
+    tx: jnp.ndarray
+    ty: jnp.ndarray
+    flip_u: jnp.ndarray
+    gain: jnp.ndarray
+
+
+def _draw_params(key, cfg: AugConfig) -> _AugParams:
+    """The random draws of ``_mosaic_one`` (identical subkey order and
+    uniform calls — the training RNG chain is pinned bitwise)."""
+    S = cfg.imgsz
+    k_cy, k_cx, k_scale, k_tx, k_ty, k_flip, k_gain = jax.random.split(key, 7)
+    yc = jax.random.uniform(k_cy, (), minval=0.5 * S, maxval=1.5 * S)
+    xc = jax.random.uniform(k_cx, (), minval=0.5 * S, maxval=1.5 * S)
+    s = jax.random.uniform(k_scale, (), minval=1 - cfg.scale, maxval=1 + cfg.scale)
+    tx = jax.random.uniform(
+        k_tx, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
+    ) * S
+    ty = jax.random.uniform(
+        k_ty, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
+    ) * S
+    flip_u = jax.random.uniform(k_flip, ())
+    gain = jax.random.uniform(k_gain, (), minval=1 - cfg.hsv_v, maxval=1 + cfg.hsv_v)
+    return _AugParams(yc, xc, s, tx, ty, flip_u, gain)
+
+
 def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
     """Build one augmented sample from 4 source slices.
 
@@ -67,15 +106,22 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
     (source-pixel xyxy); valid [4,I] bool.
     Returns (img [S,S], instmap [S,S] uint8, boxes [4I,4], valid [4I]).
     """
+    return _apply_mosaic(
+        _draw_params(key, cfg), images, instmaps, boxes, valid, cfg
+    )
+
+
+def _apply_mosaic(p: _AugParams, images, instmaps, boxes, valid,
+                  cfg: AugConfig):
+    """Apply one sample's augmentation given its draws (see _mosaic_one)."""
     S = cfg.imgsz
     H, W = images.shape[1], images.shape[2]
-    k_cy, k_cx, k_scale, k_tx, k_ty, k_flip, k_gain = jax.random.split(key, 7)
+    s, tx, ty = p.s, p.tx, p.ty
 
     if cfg.mosaic:
-        # mosaic center on the 2S x 2S canvas
-        yc = jax.random.uniform(k_cy, (), minval=0.5 * S, maxval=1.5 * S)
-        xc = jax.random.uniform(k_cx, (), minval=0.5 * S, maxval=1.5 * S)
-        # tile k top-left placement so its corner meets the center
+        # mosaic center on the 2S x 2S canvas; tile k's top-left placed
+        # so its corner meets the center (upstream mosaic4 quadrants)
+        yc, xc = p.yc, p.xc
         offs_y = jnp.stack([yc - H, yc - H, yc, yc])
         offs_x = jnp.stack([xc - W, xc, xc - W, xc])
         canvas = 2 * S
@@ -84,21 +130,19 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
         offs_y = jnp.stack([(S - H) / 2.0] + [jnp.inf] * 3)
         offs_x = jnp.stack([(S - W) / 2.0] + [jnp.inf] * 3)
         canvas = S
-
-    # affine: output pixel -> canvas coordinate
-    s = jax.random.uniform(k_scale, (), minval=1 - cfg.scale, maxval=1 + cfg.scale)
-    tx = jax.random.uniform(
-        k_tx, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
-    ) * S
-    ty = jax.random.uniform(
-        k_ty, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate
-    ) * S
     # forward map: canvas point c -> s*(c - canvas/2) + (tx, ty)
     # inverse: out pixel p -> (p - t)/s + canvas/2   (separable in y/x)
     ys_out = jnp.arange(S, dtype=jnp.float32)
     xs_out = jnp.arange(S, dtype=jnp.float32)
     cy = (ys_out - ty) / s + canvas / 2.0
     cx = (xs_out - tx) / s + canvas / 2.0
+
+    # tile content exists only INSIDE the canvas (upstream pastes with
+    # quadrant crops at the canvas edges; an affine sample that lands
+    # off-canvas reads the 114 border even where a tile's nominal extent
+    # continues) — mask the per-axis sample coords to [0, canvas-1]
+    cyv = (cy >= 0) & (cy <= canvas - 1)
+    cxv = (cx >= 0) & (cx <= canvas - 1)
 
     img_out = jnp.full((S, S), 114.0)
     inst_out = jnp.zeros((S, S), jnp.int32)
@@ -108,13 +152,13 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
         Wy, hy = _interp_matrix(ys_k, H)
         Wx, hx = _interp_matrix(xs_k, W)
         v = Wy @ images[k] @ Wx.T  # separable bilinear resample on the MXU
-        hit = hy[:, None] & hx[None, :]
+        hit = (hy & cyv)[:, None] & (hx & cxv)[None, :]
         img_out = jnp.where(hit, v, img_out)
 
         Ny, ny = _nearest_matrix(ys_k, H)
         Nx, nx = _nearest_matrix(xs_k, W)
         m = (Ny @ instmaps[k].astype(jnp.float32) @ Nx.T).astype(jnp.int32)
-        nhit = ny[:, None] & nx[None, :]
+        nhit = (ny & cyv)[:, None] & (nx & cxv)[None, :]
         ids = jnp.where(m > 0, m + k * cfg.max_inst, 0)
         inst_out = jnp.where(nhit & (m > 0), ids, inst_out)
 
@@ -131,7 +175,22 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
             [jnp.clip(bx1, 0, S), jnp.clip(by1, 0, S), jnp.clip(bx2, 0, S),
              jnp.clip(by2, 0, S)], axis=-1
         )
-        ok = valid[k] & ((nb[:, 2] - nb[:, 0]) > 2) & ((nb[:, 3] - nb[:, 1]) > 2)
+        # upstream box_candidates: min side 2px, aspect < 100, and the
+        # clipped box keeps > 1% of its transformed area (area_thr 0.01
+        # — the segments branch; slivers clipped at the border drop out)
+        w2 = nb[:, 2] - nb[:, 0]
+        h2 = nb[:, 3] - nb[:, 1]
+        w1 = (b[:, 2] - b[:, 0]) * s
+        h1 = (b[:, 3] - b[:, 1]) * s
+        eps = 1e-16
+        ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+        ok = (
+            valid[k]
+            & (w2 > 2)
+            & (h2 > 2)
+            & (ar < 100)
+            & (w2 * h2 / (w1 * h1 + eps) > 0.01)
+        )
         all_boxes.append(nb)
         all_valid.append(ok)
     if not cfg.mosaic:
@@ -142,7 +201,7 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
     out_valid = jnp.concatenate(all_valid, axis=0)
 
     # horizontal flip
-    do_flip = jax.random.uniform(k_flip, ()) < cfg.fliplr
+    do_flip = p.flip_u < cfg.fliplr
     img_out = jnp.where(do_flip, img_out[:, ::-1], img_out)
     inst_out = jnp.where(do_flip, inst_out[:, ::-1], inst_out)
     fb = jnp.stack(
@@ -152,8 +211,7 @@ def _mosaic_one(key, images, instmaps, boxes, valid, cfg: AugConfig):
     out_boxes = jnp.where(do_flip, fb, out_boxes)
 
     # brightness (grayscale reduction of HSV value jitter)
-    gain = jax.random.uniform(k_gain, (), minval=1 - cfg.hsv_v, maxval=1 + cfg.hsv_v)
-    img_out = jnp.clip(img_out * gain, 0, 255)
+    img_out = jnp.clip(img_out * p.gain, 0, 255)
 
     return img_out, inst_out.astype(jnp.uint8), out_boxes, out_valid
 

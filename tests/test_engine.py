@@ -119,3 +119,43 @@ def test_patience_and_save_period(synth_dataset, tmp_path, monkeypatch):
     note = json.loads((w / "fitness.json").read_text())
     assert note["best_epoch"] == 1
     assert abs(note["best_fitness"] - 0.5) < 1e-9
+
+
+def test_patience_counter_survives_resume(synth_dataset, tmp_path, monkeypatch):
+    """The stopper state is reconstructed on resume from the persisted
+    best_epoch: a plateau that began before the interruption counts, so
+    the resumed run stops immediately instead of re-earning the patience."""
+    from tpu_mslesseg.train import validate as tval
+
+    calls = []
+
+    def fake_run_validation(*a, **kw):
+        # epoch 1 improves (first val beats best_fit=-1), then plateau
+        m = {"map50_m": 0.5 if not calls else 0.1,
+             "map_m": 0.5 if not calls else 0.1}
+        calls.append(1)
+        out = (m, {"box": 0.0, "seg": 0.0, "cls": 0.0, "dfl": 0.0})
+        return out + ((None,) if kw.get("return_acc") else ())
+
+    monkeypatch.setattr(tval, "run_validation", fake_run_validation)
+
+    out = tmp_path / "foldpr"
+    model, _ = create_model(nc=1, scale="n")
+    common = dict(
+        model=model, fold_test=1, patients=["P1", "P2", "P30"], plano="axial",
+        modalidades=["FLAIR"], mejora=None, num_cortes=6,
+        dataset_dir=synth_dataset, output_dir=out, k_folds=2,
+    )
+    # phase 1: patience high enough not to fire; 10 epochs (checkpointed)
+    cfg = TrainConfig(epochs=10, batch_size=4, imgsz=64, max_fg=8,
+                      close_mosaic=0, patience=100, plots=False)
+    engine.train_fold(cfg=cfg, **common)
+    # phase 2: resume at epoch 11 with patience=3 — best_epoch=1 persisted,
+    # so vals_since_best reconstructs to 9 >= 3 and epoch 11 stops at once
+    cfg2 = TrainConfig(epochs=20, batch_size=4, imgsz=64, max_fg=8,
+                       close_mosaic=0, patience=3, plots=False)
+    summary = engine.train_fold(cfg=cfg2, **common)
+    assert summary["epochs"] == 11
+    with open(out / "results.csv") as f:
+        rows = list(csv.reader(f))
+    assert [r[0] for r in rows[1:]] == [str(e) for e in range(1, 12)]

@@ -18,8 +18,7 @@ clipped, and filtered with upstream's box_candidates criteria.
 Differentially pinned against a literal NumPy transcription of upstream
 Mosaic._mosaic4 + RandomPerspective with injected draws
 (tests/test_augment.py::test_mosaic_affine_matches_ultralytics_transcription).
-Two knowing deviations: mosaic centers are continuous (upstream casts the
-same uniform to int), and pixels within ~1px of a tile seam sample only
+One knowing deviation: pixels within ~1px of a tile seam sample only
 their own tile (upstream's warp blends across the pasted canvas seam).
 """
 
@@ -85,8 +84,9 @@ def _draw_params(key, cfg: AugConfig) -> _AugParams:
     uniform calls — the training RNG chain is pinned bitwise)."""
     S = cfg.imgsz
     k_cy, k_cx, k_scale, k_tx, k_ty, k_flip, k_gain = jax.random.split(key, 7)
-    yc = jax.random.uniform(k_cy, (), minval=0.5 * S, maxval=1.5 * S)
-    xc = jax.random.uniform(k_cx, (), minval=0.5 * S, maxval=1.5 * S)
+    # integer centers like upstream (int(random.uniform(S/2, 3S/2)))
+    yc = jnp.floor(jax.random.uniform(k_cy, (), minval=0.5 * S, maxval=1.5 * S))
+    xc = jnp.floor(jax.random.uniform(k_cx, (), minval=0.5 * S, maxval=1.5 * S))
     s = jax.random.uniform(k_scale, (), minval=1 - cfg.scale, maxval=1 + cfg.scale)
     tx = jax.random.uniform(
         k_tx, (), minval=0.5 - cfg.translate, maxval=0.5 + cfg.translate

@@ -436,8 +436,10 @@ def mosaic4_paste_np(images, instmaps, boxes, valid, yc, xc, imgsz, max_inst):
         icanvas[y1a:y2a, x1a:x2a] = np.where(im > 0, im + k * max_inst, 0)
         padw, padh = x1a - x1b, y1a - y1b
         b = boxes[k].astype(np.float64).copy()
-        b[:, [0, 2]] += padw
-        b[:, [1, 3]] += padh
+        # upstream Mosaic._cat_labels: instances.clip(2S) — labels are
+        # clipped to the canvas before RandomPerspective
+        b[:, [0, 2]] = np.clip(b[:, [0, 2]] + padw, 0, 2 * S)
+        b[:, [1, 3]] = np.clip(b[:, [1, 3]] + padh, 0, 2 * S)
         out_boxes.append(b)
         out_valid.append(valid[k])
     return canvas, icanvas, np.concatenate(out_boxes), np.concatenate(out_valid)
@@ -491,9 +493,11 @@ def random_affine_np(canvas, icanvas, boxes2, valid2, s, tx, ty, imgsz):
     nb[:, [1, 3]] = (b[:, [1, 3]] - Cc / 2.0) * s + ty
     nb[:, [0, 2]] = np.clip(nb[:, [0, 2]], 0, S)
     nb[:, [1, 3]] = np.clip(nb[:, [1, 3]], 0, S)
+    # box_candidates receives box1 in pre-affine canvas units (no s
+    # scaling) — the area ratio absorbs s^2, exactly as upstream calls it
     eps = 1e-16
-    w1 = (b[:, 2] - b[:, 0]) * s
-    h1 = (b[:, 3] - b[:, 1]) * s
+    w1 = b[:, 2] - b[:, 0]
+    h1 = b[:, 3] - b[:, 1]
     w2 = nb[:, 2] - nb[:, 0]
     h2 = nb[:, 3] - nb[:, 1]
     ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))

@@ -119,3 +119,17 @@ def barrier(name: str = "barrier"):
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def broadcast_from_main(values):
+    """Broadcast a small list of host floats from process 0 in float64
+    (resumed best-fitness values feed a ``>=`` comparison, so a float32
+    round-trip could accept a strictly worse model). Identity when
+    single-process."""
+    if jax.process_count() == 1:
+        return [float(v) for v in values]
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.broadcast_one_to_all(np.asarray(values, np.float64))
+    return [float(x) for x in arr]

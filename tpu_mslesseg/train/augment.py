@@ -166,22 +166,30 @@ def _apply_mosaic(p: _AugParams, images, instmaps, boxes, valid,
     n_tiles = 4 if cfg.mosaic else 1
     all_boxes, all_valid = [], []
     for k in range(n_tiles):
-        b = boxes[k]  # [I,4]
-        bx1 = (b[:, 0] + offs_x[k] - canvas / 2.0) * s + tx
-        by1 = (b[:, 1] + offs_y[k] - canvas / 2.0) * s + ty
-        bx2 = (b[:, 2] + offs_x[k] - canvas / 2.0) * s + tx
-        by2 = (b[:, 3] + offs_y[k] - canvas / 2.0) * s + ty
+        b = boxes[k]  # [I,4] source pixels
+        # canvas coordinates, clipped to the canvas BEFORE the affine —
+        # upstream Mosaic._cat_labels clips instances to the 2S canvas,
+        # so a box hanging off a cropped tile edge anchors at the border
+        cx1 = jnp.clip(b[:, 0] + offs_x[k], 0, canvas)
+        cy1 = jnp.clip(b[:, 1] + offs_y[k], 0, canvas)
+        cx2 = jnp.clip(b[:, 2] + offs_x[k], 0, canvas)
+        cy2 = jnp.clip(b[:, 3] + offs_y[k], 0, canvas)
+        bx1 = (cx1 - canvas / 2.0) * s + tx
+        by1 = (cy1 - canvas / 2.0) * s + ty
+        bx2 = (cx2 - canvas / 2.0) * s + tx
+        by2 = (cy2 - canvas / 2.0) * s + ty
         nb = jnp.stack(
             [jnp.clip(bx1, 0, S), jnp.clip(by1, 0, S), jnp.clip(bx2, 0, S),
              jnp.clip(by2, 0, S)], axis=-1
         )
-        # upstream box_candidates: min side 2px, aspect < 100, and the
-        # clipped box keeps > 1% of its transformed area (area_thr 0.01
-        # — the segments branch; slivers clipped at the border drop out)
+        # upstream box_candidates: min side 2px, aspect < 100, and area
+        # ratio > 1% (area_thr 0.01 — the segments branch). box1 is the
+        # PRE-affine canvas box, so the ratio absorbs s^2 like upstream
+        # (w1/h1 are NOT scaled by s).
         w2 = nb[:, 2] - nb[:, 0]
         h2 = nb[:, 3] - nb[:, 1]
-        w1 = (b[:, 2] - b[:, 0]) * s
-        h1 = (b[:, 3] - b[:, 1]) * s
+        w1 = cx2 - cx1
+        h1 = cy2 - cy1
         eps = 1e-16
         ar = jnp.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
         ok = (

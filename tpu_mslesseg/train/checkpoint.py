@@ -108,3 +108,31 @@ def inference_variables(ckpt, use_ema: bool = True):
     """Checkpoint dict -> flax variables for model.apply."""
     params = ckpt["ema_params"] if use_ema and "ema_params" in ckpt else ckpt["params"]
     return {"params": params, "batch_stats": ckpt["batch_stats"]}
+
+
+def load_stopper_state(weights_dir, start_epoch: int):
+    """Resumed best-fitness / EarlyStopping state from
+    ``<weights_dir>/fitness.json`` (shared by both engines).
+
+    Returns ``(best_fit, best_epoch)``. A best.ckpt whose fitness note is
+    missing (pre-fitness.json checkpoint, or a crash between the
+    collective best save and the process-0 note write) gets an EPSILON
+    floor, not 0.0: fitness is always >= 0 and the improvement test is
+    ``fit >= best``, so a 0.0 floor would let a zero-fitness tie demote a
+    good checkpoint and reset the patience counter."""
+    import json
+
+    weights = Path(weights_dir)
+    best_fit, best_epoch = -1.0, start_epoch - 1
+    if start_epoch > 1:
+        ff = weights / "fitness.json"
+        if ff.exists():
+            try:
+                note = json.loads(ff.read_text())
+                best_fit = float(note["best_fitness"])
+                best_epoch = int(note.get("best_epoch", best_epoch))
+            except (ValueError, KeyError, TypeError):
+                pass
+        if best_fit < 0 and checkpoint_exists(weights / "best.ckpt"):
+            best_fit = 1e-12
+    return best_fit, best_epoch

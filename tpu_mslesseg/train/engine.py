@@ -213,36 +213,17 @@ def train_fold(
 
     val_acc = None  # last validation's accumulator (for curve plots)
     fitness_file = weights / "fitness.json"
-    best_fit = -1.0
-    # stopper state (upstream EarlyStopping): the epoch of the last
-    # fitness improvement; a resume without it must not false-stop
-    best_epoch = start_epoch - 1
-    if start_epoch > 1:
-        if fitness_file.exists():
-            try:
-                note = json.loads(fitness_file.read_text())
-                best_fit = float(note["best_fitness"])
-                best_epoch = int(note.get("best_epoch", best_epoch))
-            except (ValueError, KeyError, TypeError):
-                pass
-        if best_fit < 0 and checkpoint.checkpoint_exists(weights / "best.ckpt"):
-            # a best checkpoint with unknown fitness (pre-fitness.json or a
-            # crash between saves): require a non-trivial improvement
-            # before overwriting it
-            best_fit = 0.0
+    # stopper state (upstream EarlyStopping): best fitness + the epoch of
+    # the last improvement; a resume without a note must not false-stop
+    best_fit, best_epoch = checkpoint.load_stopper_state(weights, start_epoch)
     from tpu_mslesseg.core import distributed
 
-    if distributed.process_count() > 1:
-        # fitness.json is process-0-only: without a shared filesystem the
-        # workers would resume divergent stopper/best state, and a
-        # divergent best-save or patience break deadlocks the collective
-        # orbax saves / train steps — broadcast process 0's view
-        from jax.experimental import multihost_utils
-
-        best_fit, be = map(float, multihost_utils.broadcast_one_to_all(
-            np.asarray([best_fit, float(best_epoch)], np.float32)
-        ))
-        best_epoch = int(be)
+    # fitness.json is process-0-only: without a shared filesystem the
+    # workers would resume divergent stopper/best state, and a divergent
+    # best-save or patience break deadlocks the collective orbax saves /
+    # train steps — broadcast process 0's view
+    best_fit, be = distributed.broadcast_from_main([best_fit, float(best_epoch)])
+    best_epoch = int(be)
 
     # validations since the last improvement (resume: reconstruct from the
     # persisted best_epoch and the validation cadence)

@@ -215,31 +215,17 @@ def train_folds_parallel(
         except (ValueError, FileNotFoundError) as e:
             logger.warning(f"⚠️ Fold {f + 1} sin cortes de validación: {e}")
             val_sets.append(None)
-        bf, be = -1.0, start_epoch - 1
-        if start_epoch > 1:
-            ff = out / "weights" / "fitness.json"
-            if ff.exists():
-                try:
-                    note = json.loads(ff.read_text())
-                    bf = float(note["best_fitness"])
-                    be = int(note.get("best_epoch", be))
-                except (ValueError, KeyError, TypeError):
-                    pass
-            if bf < 0 and checkpoint.checkpoint_exists(out / "weights" / "best.ckpt"):
-                bf = 0.0
+        bf, be = checkpoint.load_stopper_state(out / "weights", start_epoch)
         best_fits.append(bf)
         best_epochs.append(be)
-    if distributed.process_count() > 1:
-        # per-fold fitness.json is process-0-only: broadcast process 0's
-        # resumed stopper/best state so a divergent best-save or patience
-        # break can't deadlock the collective saves/steps
-        from jax.experimental import multihost_utils
-
-        flat = multihost_utils.broadcast_one_to_all(
-            np.asarray(best_fits + [float(e) for e in best_epochs], np.float32)
-        )
-        best_fits = [float(x) for x in flat[:k_folds]]
-        best_epochs = [int(x) for x in flat[k_folds:]]
+    # per-fold fitness.json is process-0-only: broadcast process 0's
+    # resumed stopper/best state so a divergent best-save or patience
+    # break can't deadlock the collective saves/steps
+    flat = distributed.broadcast_from_main(
+        best_fits + [float(e) for e in best_epochs]
+    )
+    best_fits = flat[:k_folds]
+    best_epochs = [int(x) for x in flat[k_folds:]]
     # validations since each fold's last improvement (resume reconstruction)
     vals_since_best = [
         max(0, (start_epoch - 1 - be) // max(val_every, 1)) for be in best_epochs
@@ -250,6 +236,16 @@ def train_folds_parallel(
         cfg, steps_per_epoch, start=cfg.warmup_bias_lr
     )
     val_accs = [None] * k_folds  # last validation accumulators (curves)
+
+    def save_last(st):
+        """Stacked resume point + per-fold last.ckpt (one shared writer
+        for the periodic saves and the early-stop break)."""
+        checkpoint.save_checkpoint(stacked_ckpt, st, include_opt=True)
+        for f in range(k_folds):
+            checkpoint.save_checkpoint(
+                fold_dirs[f] / "weights" / "last.ckpt",
+                fold_parallel.extract_fold_state(st, f),
+            )
 
     with mesh if mesh is not None else nullcontext():
         for epoch in range(start_epoch, cfg.epochs + 1):
@@ -333,12 +329,7 @@ def train_folds_parallel(
             # point + per-fold last every 10 epochs and at the end
             saved_last = epoch % 10 == 0 or epoch == cfg.epochs
             if saved_last:
-                checkpoint.save_checkpoint(stacked_ckpt, state, include_opt=True)
-                for f in range(k_folds):
-                    checkpoint.save_checkpoint(
-                        fold_dirs[f] / "weights" / "last.ckpt",
-                        fold_parallel.extract_fold_state(state, f),
-                    )
+                save_last(state)
             if cfg.save_period > 0 and epoch % cfg.save_period == 0:
                 # periodic per-fold snapshots (upstream save_period)
                 for f in range(k_folds):
@@ -362,14 +353,7 @@ def train_folds_parallel(
                         f"(mejores épocas {best_epochs[:k_folds]})."
                     )
                     if not saved_last:
-                        checkpoint.save_checkpoint(
-                            stacked_ckpt, state, include_opt=True
-                        )
-                        for f in range(k_folds):
-                            checkpoint.save_checkpoint(
-                                fold_dirs[f] / "weights" / "last.ckpt",
-                                fold_parallel.extract_fold_state(state, f),
-                            )
+                        save_last(state)
                     break
 
     summary = {}

@@ -138,6 +138,12 @@ state = SimpleNamespace(
 )
 checkpoint.save_checkpoint(os.path.join(outdir, "ckpt"), state)
 
+# stopper-state broadcast (engine resume): divergent per-process views
+# resolve to process 0's, at full float64 precision (a float32 round
+# trip would corrupt the >= fitness comparison)
+bf, be = distributed.broadcast_from_main([0.73000001 + pid, 5.0 + pid])
+assert bf == 0.73000001 and be == 5.0, (pid, bf, be)
+
 distributed.barrier("done")
 distributed.shutdown()
 print(f"DIST2-OK-{pid}")

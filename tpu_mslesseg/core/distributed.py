@@ -122,14 +122,19 @@ def barrier(name: str = "barrier"):
 
 
 def broadcast_from_main(values):
-    """Broadcast a small list of host floats from process 0 in float64
-    (resumed best-fitness values feed a ``>=`` comparison, so a float32
-    round-trip could accept a strictly worse model). Identity when
-    single-process."""
+    """Broadcast a small list of host floats from process 0 at full
+    float64 precision (resumed best-fitness values feed a ``>=``
+    comparison, so a float32 round-trip could accept a strictly worse
+    model). Identity when single-process.
+
+    broadcast_one_to_all itself downcasts f64 arrays to f32 when x64 is
+    off (the default), so each float is bit-cast to two uint32 words —
+    integer broadcasts are exact — and reassembled."""
     if jax.process_count() == 1:
         return [float(v) for v in values]
     import numpy as np
     from jax.experimental import multihost_utils
 
-    arr = multihost_utils.broadcast_one_to_all(np.asarray(values, np.float64))
-    return [float(x) for x in arr]
+    bits = np.ascontiguousarray(np.asarray(values, np.float64)).view(np.uint32)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(bits), np.uint32)
+    return [float(x) for x in np.ascontiguousarray(out).view(np.float64)]

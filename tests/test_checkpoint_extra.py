@@ -126,3 +126,36 @@ def test_compat_restore_of_pre_grad_accum_checkpoint(tmp_path):
     bad["params"] = {"nope": np.zeros((2,), np.float32)}
     with pytest.raises(Exception):
         checkpoint.load_checkpoint_compat(path, bad)
+
+
+def test_load_stopper_state_paths(tmp_path):
+    """Resume stopper-state corner cases: fresh run, full note, legacy
+    note without best_epoch, and the epsilon floor for a best.ckpt whose
+    fitness note is missing (0.0 would let zero-fitness ties demote it)."""
+    import json
+
+    from tpu_mslesseg.train.checkpoint import load_stopper_state
+
+    w = tmp_path / "weights"
+    w.mkdir()
+    # fresh run (start_epoch == 1): sentinel fitness, no stop pressure
+    assert load_stopper_state(w, 1) == (-1.0, 0)
+    # resume without any note or best.ckpt: same sentinel
+    assert load_stopper_state(w, 8) == (-1.0, 7)
+    # best.ckpt present but note missing: epsilon floor, NOT 0.0
+    (w / "best.ckpt").mkdir()
+    (w / "best.ckpt" / "x").write_text("d")
+    bf, be = load_stopper_state(w, 8)
+    assert 0.0 < bf < 1e-9 and be == 7
+    # legacy note without best_epoch
+    (w / "fitness.json").write_text(json.dumps({"best_fitness": 0.73000001}))
+    assert load_stopper_state(w, 8) == (0.73000001, 7)
+    # full note wins
+    (w / "fitness.json").write_text(
+        json.dumps({"best_fitness": 0.5, "best_epoch": 3})
+    )
+    assert load_stopper_state(w, 8) == (0.5, 3)
+    # corrupt note falls back to the epsilon floor (best.ckpt exists)
+    (w / "fitness.json").write_text("{not json")
+    bf, be = load_stopper_state(w, 8)
+    assert 0.0 < bf < 1e-9 and be == 7

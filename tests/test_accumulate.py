@@ -57,36 +57,93 @@ def _tiny_params():
 
 
 def test_first_apply_lr_per_group():
-    """adamw's first update magnitude ~= lr; the bias group must move at
-    the warmup_bias_lr-dominated rate, the kernels at the near-zero
-    warmup rate, both evaluated at the APPLY micro-step (acc-1)."""
-    cfg = TrainConfig(epochs=50, batch_size=8)  # acc = 8
+    """Upstream's FIRST optimizer apply fires at micro-step 0 (the
+    warmup accumulate ramp starts at 1): the bias group moves at exactly
+    warmup_bias_lr, the weight group at lr 0.0 — a null parameter update
+    whose Adam moments still advance, like torch. adamw's update
+    magnitude ~= lr under a constant gradient."""
+    cfg = TrainConfig(epochs=50, batch_size=8)
     spe = 100
     tx, sched = trainer.make_optimizer(cfg, spe)
-    acc = trainer.accumulate_steps(cfg)
+    _, _, apply_ni = trainer.apply_cadence(cfg, spe)
+    assert apply_ni[0] == 0 and apply_ni[1] == 1  # ramp starts at acc=1
     params = _tiny_params()
     opt = tx.init(params)
     g = jax.tree_util.tree_map(jnp.ones_like, params)
-    updates, _ = tx.update(g, opt, params)
-    lr_bias = float(trainer.lr_schedule(cfg, spe, cfg.warmup_bias_lr)(acc - 1))
-    lr_rest = float(sched(acc - 1))
+    updates, opt = tx.update(g, opt, params)
     np.testing.assert_allclose(
-        float(jnp.abs(updates["dense"]["bias"]).mean()), lr_bias, rtol=1e-3
+        float(jnp.abs(updates["dense"]["bias"]).mean()),
+        cfg.warmup_bias_lr, rtol=1e-3,
+    )
+    assert float(jnp.abs(updates["dense"]["kernel"]).max()) == 0.0
+    # second apply sees the lr at micro-step 1 (warmup barely advanced)
+    updates, opt = tx.update(g, opt, params)
+    lr_bias_1 = float(trainer.lr_schedule(cfg, spe, cfg.warmup_bias_lr)(1))
+    lr_rest_1 = float(sched(1))
+    np.testing.assert_allclose(
+        float(jnp.abs(updates["dense"]["bias"]).mean()), lr_bias_1, rtol=1e-3
     )
     np.testing.assert_allclose(
-        float(jnp.abs(updates["dense"]["kernel"]).mean()), lr_rest, rtol=2e-3
+        float(jnp.abs(updates["dense"]["kernel"]).mean()), lr_rest_1, rtol=2e-3
     )
-    assert lr_bias > 50 * lr_rest  # the 0.1 bias warmup dominates early
+    assert lr_bias_1 > 50 * lr_rest_1  # the 0.1 bias warmup dominates early
+
+
+def test_apply_cadence_upstream_ramp():
+    """The precomputed cadence reproduces upstream's warmup behavior on
+    the reference-run shape (batch 12, nb=172 -> nw=516, tgt=64/12):
+    applies EVERY micro-batch while round(interp) == 1, gaps widen
+    monotonically through the ramp, and settle at round(nbs/batch)=5
+    after warmup; each apply gap equals the accumulate value upstream
+    would hold at that micro-step."""
+    cfg = TrainConfig(epochs=50, batch_size=12)
+    spe = 172
+    mask, napp, apply_ni = trainer.apply_cadence(cfg, spe)
+    assert mask.size == spe * cfg.epochs
+    nw = max(round(cfg.warmup_epochs * spe), 100)
+    tgt = cfg.nbs / cfg.batch_size
+    # round(interp) stays 1 while 1 + (tgt-1)*ni/nw < 1.5 -> ni <= 59
+    assert mask[:60].all() and not mask[60]
+    gaps = np.diff(apply_ni)
+    assert (np.diff(gaps) >= 0).all()  # acc is monotone through the ramp
+    # fire rule: the gap to an apply equals accumulate AT that micro-step
+    for a, b in zip(apply_ni[:-1], apply_ni[1:]):
+        acc_b = max(1, round(float(np.interp(b, [0, nw], [1.0, tgt]))))
+        assert b - a == acc_b
+    # post-warmup: fixed 5-step cadence (= accumulate_steps)
+    post = apply_ni[apply_ni > nw]
+    assert (np.diff(post) == trainer.accumulate_steps(cfg)).all()
+    # n_applies is the inclusive apply counter (drives the EMA ramp)
+    assert napp[0] == 1 and napp[-1] == mask.sum()
+    assert (napp[apply_ni] == np.arange(1, apply_ni.size + 1)).all()
+
+
+def test_apply_cadence_no_warmup_is_fixed():
+    """warmup_epochs <= 0: upstream sets nw = -1 — no ramp, the fixed
+    build-time accumulate from step 0 (first apply at acc-1), and the lr
+    is the plain epoch schedule with no 100-iteration floor."""
+    cfg = TrainConfig(epochs=4, batch_size=16, nbs=64, warmup_epochs=0.0)
+    spe = 25
+    mask, _, apply_ni = trainer.apply_cadence(cfg, spe)
+    acc = trainer.accumulate_steps(cfg)  # 4
+    assert apply_ni[0] == acc - 1
+    assert (np.diff(apply_ni) == acc).all()
+    sched = trainer.lr_schedule(cfg, spe)
+    lf0 = 1.0  # epoch 0: lf = 1
+    np.testing.assert_allclose(float(sched(0)), cfg.lr0 * lf0, rtol=1e-6)
 
 
 def test_step_applies_only_every_accumulate():
     """Params/EMA/opt move ONLY on the acc-th micro step; the
-    accumulation carry holds the summed gradients in between."""
+    accumulation carry holds the summed gradients in between. (Warmup
+    disabled: with warmup_epochs > 0 upstream's accumulate ramp starts
+    at 1, so the fixed cadence under test is the post-warmup one.)"""
     from tpu_mslesseg.model.yolo11 import create_model
     from tpu_mslesseg.train import augment, data as tdata
 
     cfg = TrainConfig(
-        epochs=2, batch_size=16, imgsz=64, max_fg=8, close_mosaic=0, nbs=32
+        epochs=2, batch_size=16, imgsz=64, max_fg=8, close_mosaic=0,
+        nbs=32, warmup_epochs=0.0,
     )  # acc = 2
     model, _ = create_model(nc=1, scale="n")
     state = trainer.init_train_state(model, cfg, steps_per_epoch=4)
@@ -163,7 +220,7 @@ def test_cos_lr_one_cycle():
                               warmup_epochs=0.0)
     spe = 10
     sched = trainer.lr_schedule(cfg, spe)
-    # warmup floor is 100 iters regardless; evaluate past it
+    # warmup_epochs=0 disables the warmup (upstream nw = -1)
     for epoch in (10, 20, 39):
         step = epoch * spe
         lf = ((1 - np.cos(epoch * np.pi / cfg.epochs)) / 2) * (cfg.lrf - 1) + 1

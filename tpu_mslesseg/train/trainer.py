@@ -98,9 +98,58 @@ class TrainState(struct.PyTreeNode):
 
 
 def accumulate_steps(cfg: TrainConfig) -> int:
-    """Micro-batches per optimizer step (upstream:
-    ``max(round(nbs / batch_size), 1)``)."""
+    """Micro-batches per optimizer step at build time (upstream:
+    ``max(round(nbs / batch_size), 1)`` — sizes the weight-decay scale
+    and the post-warmup cadence; see `apply_cadence` for the warmup
+    ramp)."""
     return max(round(cfg.nbs / max(cfg.batch_size, 1)), 1)
+
+
+def apply_cadence(cfg: TrainConfig, steps_per_epoch: int,
+                  total_steps: int | None = None):
+    """Upstream's optimizer-apply cadence over the whole run, precomputed.
+
+    Ultralytics ramps ``accumulate`` itself during warmup (its trainer
+    re-evaluates ``accumulate = max(1, round(interp(ni, [0, nw],
+    [1, nbs / batch])))`` every micro-batch while ``ni <= nw``, consumed
+    by ``scripts/train.py:358-366``'s train call) and fires the optimizer
+    when ``ni - last_opt_step >= accumulate`` — so at the start of warmup
+    the optimizer steps EVERY micro-batch and the gap widens to
+    ``round(nbs/batch)`` by iteration nw. With ``warmup_epochs <= 0``
+    upstream sets nw = -1 (no ramp: fixed gap from the build-time value).
+
+    The whole sequence is a deterministic function of the micro-step, so
+    it is precomputed on host and embedded as program constants — the
+    train state needs no ``last_opt_step`` carry and checkpoints keep
+    their layout. Returns per-micro-step ``apply_mask`` (does the
+    optimizer fire at step ni), inclusive ``n_applies`` (the EMA update
+    counter at an apply), and ``apply_ni`` (micro-step of the c-th apply
+    — the LR the optimizer sees at its c-th update).
+    """
+    T = int(total_steps if total_steps is not None
+            else steps_per_epoch * cfg.epochs)
+    fixed = accumulate_steps(cfg)
+    mask = np.zeros(max(T, 1), np.bool_)
+    if cfg.warmup_epochs > 0:
+        nw = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
+        tgt = cfg.nbs / max(cfg.batch_size, 1)
+        last = -1
+        acc = fixed
+        for ni in range(mask.size):
+            if ni <= nw:
+                # round() on the interp float is Python round-half-even,
+                # like upstream's
+                acc = max(1, round(float(np.interp(ni, [0, nw], [1.0, tgt]))))
+            if ni - last >= acc:
+                mask[ni] = True
+                last = ni
+    else:
+        mask[fixed - 1 :: fixed] = True
+    n_applies = np.cumsum(mask).astype(np.int32)
+    apply_ni = np.nonzero(mask)[0].astype(np.int32)
+    if apply_ni.size == 0:  # degenerate short runs: keep the LUT non-empty
+        apply_ni = np.zeros(1, np.int32)
+    return mask, n_applies, apply_ni
 
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, start: float = 0.0):
@@ -108,7 +157,9 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, start: float = 0.0):
     upstream loop: the warmup is a per-micro-batch interp over
     ``nw = max(round(warmup_epochs * steps_per_epoch), 100)`` iterations
     from `start` (0 for weights, warmup_bias_lr for biases) to the
-    current epoch's scheduled lr."""
+    current epoch's scheduled lr. With ``warmup_epochs <= 0`` upstream
+    disables the warmup entirely (nw = -1): the lr is the epoch schedule
+    from step 0, with no 100-iteration floor."""
     warm = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
 
     def fn(step):
@@ -121,6 +172,8 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int, start: float = 0.0):
             ) + 1.0
         else:
             lf = (1.0 - epoch / cfg.epochs) * (1.0 - cfg.lrf) + cfg.lrf
+        if cfg.warmup_epochs <= 0:
+            return cfg.lr0 * lf
         frac = jnp.clip(step / warm, 0.0, 1.0)
         return start * (1.0 - frac) + cfg.lr0 * lf * frac
 
@@ -151,15 +204,19 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     decay (wd mask covers kernels only); the decay itself scales by
     ``batch*accumulate/nbs``.
 
-    The optimizer is stepped once per `accumulate` micro-batches on the
-    summed gradients (see make_train_step_fn), so its internal count c
-    advances per APPLY; the schedules compose ``c -> micro-step
-    c*accumulate + accumulate - 1`` — exactly the micro-batch at which
-    upstream's ``ni - last_opt_step >= accumulate`` fires."""
+    The optimizer is stepped on the summed gradients at upstream's
+    apply cadence (see `apply_cadence` — during warmup the gap between
+    applies ramps from 1 to accumulate), so its internal count c
+    advances per APPLY; the schedules compose through the precomputed
+    ``c -> apply_ni[c]`` micro-step LUT — the lr upstream's param groups
+    hold at the exact micro-batch where ``ni - last_opt_step >=
+    accumulate`` fires."""
     acc = accumulate_steps(cfg)
     sched = lr_schedule(cfg, steps_per_epoch)
     sched_bias = lr_schedule(cfg, steps_per_epoch, start=cfg.warmup_bias_lr)
-    at_apply = lambda s: (lambda c: s(c * acc + acc - 1))
+    _, _, apply_ni = apply_cadence(cfg, steps_per_epoch)
+    lut = jnp.asarray(apply_ni)
+    at_apply = lambda s: (lambda c: s(jnp.take(lut, jnp.clip(c, 0, lut.size - 1))))
     wd_eff = cfg.weight_decay * cfg.batch_size * acc / cfg.nbs
     tx = optax.chain(
         optax.clip_by_global_norm(10.0),
@@ -199,13 +256,65 @@ def init_train_state(model, cfg: TrainConfig, steps_per_epoch: int, rng=None):
     )
 
 
+def make_update_fn(cfg: TrainConfig, steps_per_epoch: int):
+    """The optimizer half of the train step, isolated for reuse and for
+    the differential test against real torch.optim.AdamW
+    (tests/test_optimizer_torch_parity.py): sum the micro-gradient into
+    the carry; at the upstream apply cadence (`apply_cadence`) clip the
+    sum (global norm 10 — upstream optimizer_step), AdamW-step, and
+    update the EMA once with its decay ramp driven by the apply count.
+
+    ``update(step_i, grads, grad_accum, opt_state, params, ema) ->
+    (new_accum, new_opt, new_params, new_ema)``; `step_i` is the 0-based
+    micro-step (upstream's ni). Both lax.cond branches derive their
+    outputs from the operands so the cond stays valid inside shard_map.
+    """
+    tx, _ = make_optimizer(cfg, steps_per_epoch)
+    mask, napp, _ = apply_cadence(cfg, steps_per_epoch)
+    mask_c = jnp.asarray(mask)
+    napp_c = jnp.asarray(napp)
+
+    def update(step_i, grads, grad_accum, opt_state, params, ema):
+        grads_sum = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), grad_accum, grads
+        )
+        i = jnp.clip(step_i, 0, mask_c.size - 1)
+        # past the precomputed horizon nothing applies (run length == T)
+        do_apply = jnp.logical_and(mask_c[i], step_i < mask_c.size)
+        n_applies = napp_c[i]  # ema update count at an apply (inclusive)
+
+        def apply_branch(args):
+            grads_sum, opt_state, params, ema = args
+            updates, new_opt = tx.update(grads_sum, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            d = cfg.ema_decay * (1.0 - jnp.exp(-n_applies / cfg.ema_tau))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                ema,
+                new_params,
+            )
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, grads_sum)
+            return zeros, new_opt, new_params, new_ema
+
+        def skip_branch(args):
+            grads_sum, opt_state, params, ema = args
+            return grads_sum, opt_state, params, ema
+
+        return jax.lax.cond(
+            do_apply, apply_branch, skip_branch,
+            (grads_sum, opt_state, params, ema),
+        )
+
+    return tx, update
+
+
 def make_train_step_fn(model, cfg: TrainConfig, steps_per_epoch: int,
                        axis_name: str | None = None):
     """Un-jitted train step. Under jit-SPMD (sharded batch, replicated
     params) XLA inserts the gradient all-reduce itself; inside `shard_map`
     pass `axis_name` and the step pmean-s grads/batch_stats/metrics over
     that mesh axis explicitly."""
-    tx, _ = make_optimizer(cfg, steps_per_epoch)
+    _, update = make_update_fn(cfg, steps_per_epoch)
     loss_cfg = LossConfig(imgsz=cfg.imgsz, max_fg=cfg.max_fg)
 
     def step(state: TrainState, batch):
@@ -233,39 +342,12 @@ def make_train_step_fn(model, cfg: TrainConfig, steps_per_epoch: int,
             parts = jax.lax.pmean(parts, axis_name)
 
         # gradient accumulation to the nominal batch (upstream nbs=64):
-        # micro-batch gradients SUM into the carry; every `acc` steps the
-        # optimizer applies on the sum (clip included — upstream clips the
-        # accumulated gradients right before optimizer.step) and the EMA
-        # updates ONCE per optimizer step with the opt-step count driving
-        # its decay ramp. Both branches derive their outputs from the
-        # operands so the cond stays valid inside shard_map.
-        acc = accumulate_steps(cfg)
-        grads_sum = jax.tree_util.tree_map(
-            lambda a, g: a + g.astype(a.dtype), state.grad_accum, grads
-        )
-        do_apply = (state.step + 1) % acc == 0
-        n_applies = (state.step + 1) // acc  # ema update count at apply
-
-        def apply_branch(args):
-            grads_sum, opt_state, params, ema = args
-            updates, new_opt = tx.update(grads_sum, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            d = cfg.ema_decay * (1.0 - jnp.exp(-n_applies / cfg.ema_tau))
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
-                ema,
-                new_params,
-            )
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, grads_sum)
-            return zeros, new_opt, new_params, new_ema
-
-        def skip_branch(args):
-            grads_sum, opt_state, params, ema = args
-            return grads_sum, opt_state, params, ema
-
-        new_accum, new_opt, new_params, new_ema = jax.lax.cond(
-            do_apply, apply_branch, skip_branch,
-            (grads_sum, state.opt_state, state.params, state.ema_params),
+        # micro-batch gradients SUM into the carry; the optimizer applies
+        # on the sum at upstream's cadence (warmup-ramped accumulate —
+        # see make_update_fn / apply_cadence).
+        new_accum, new_opt, new_params, new_ema = update(
+            state.step, grads, state.grad_accum, state.opt_state,
+            state.params, state.ema_params,
         )
         new_state = TrainState(
             params=new_params,

@@ -200,14 +200,19 @@ def main():
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model
 
-    # serving workload: BOTH demo patients (P39 + P18) in one dispatch —
-    # the patient axis folds into the conv batch, so the forward runs at
-    # its best measured MXU efficiency (b=300 > b=150 img/s) and the
-    # tunnel round trip amortizes over the batch. Override the dispatch
-    # size with TPU_MSLESSEG_BENCH_PATIENTS (cycles the two volumes).
+    # serving workload: 4 patients per dispatch (the two demo volumes,
+    # cycled — identical compute to 4 distinct same-shape patients). The
+    # patient axis folds into the conv batch; the measured knee on v5e is
+    # 4 patients = b=600 slices/dispatch (r3: 3108 sl/s @2pat ->
+    # 3465 @4pat -> 3413 @8pat, MFU 15.5% -> 17.3% -> 17.0%), past which
+    # HBM working-set growth eats the MXU gain. Override with
+    # TPU_MSLESSEG_BENCH_PATIENTS; `patients_per_dispatch` in the JSON
+    # records what ran. ConsensusPredictor.lote is the production
+    # multi-patient API, so this dispatch size is product-reachable for
+    # any same-shape patient group (the full dataset is 1mm-iso batches).
     import os as _os
 
-    n_pat = int(_os.environ.get("TPU_MSLESSEG_BENCH_PATIENTS", "2"))
+    n_pat = int(_os.environ.get("TPU_MSLESSEG_BENCH_PATIENTS", "4"))
     n_slices_pp = 50  # canonical P50 config
     base_pair = [load_patient_volume("P39"), load_patient_volume("P18")]
     patients = [base_pair[i % 2] for i in range(n_pat)]

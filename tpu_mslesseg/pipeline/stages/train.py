@@ -93,7 +93,10 @@ def ejecutar_flujo_train(
     # stage default is batch=-1 (reference parity, train.py:358-366):
     # the demo's 640^2 epoch program OOMs 16G chips at the bare
     # TrainConfig default of 32 once the pool passes the shrink guard
-    cfg = train_cfg or TrainConfig(epochs=config.epochs, batch_size=-1)
+    cfg = train_cfg or TrainConfig(
+        epochs=config.epochs, batch_size=-1,
+        pretrained=resolver_pretrained(),
+    )
     model, _ = create_model(
         nc=1, scale=scale, dtype=_compute_dtype(cfg), remat=cfg.remat
     )
@@ -168,8 +171,34 @@ def parsear_args(argv=None):
         help="Entrenar en f32 puro (por defecto: bf16 mixto, como el AMP "
              "del flujo de referencia).",
     )
+    parser.add_argument(
+        "--pretrained", default="auto",
+        help="Pesos base para warm-start (referencia ConfigTrain.py:139: "
+             "yolo11n-seg.pt en el cwd, args.yaml pretrained: true). "
+             "'auto' usa ./yolo11n-seg.pt si existe; 'no' entrena desde "
+             "cero; cualquier otra cosa es una ruta a un .pt de "
+             "ultralytics (importado sin torch, model/import_pt.py).",
+    )
     parser.add_argument("--limpiar", action="store_true")
     return parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+
+def resolver_pretrained(pretrained: str = "auto") -> str:
+    """Resolve the warm-start weights path (reference semantics: the base
+    weights live at ``Path('yolo11n-seg.pt')`` relative to cwd)."""
+    from pathlib import Path
+
+    if pretrained == "no":
+        return ""
+    if pretrained == "auto":
+        p = Path("yolo11n-seg.pt")
+        if p.is_file():
+            logger.info(f"🧬 Pesos base detectados: {p}.")
+            return str(p)
+        return ""
+    if not Path(pretrained).is_file():
+        raise FileNotFoundError(f"Pesos base no encontrados: {pretrained}")
+    return pretrained
 
 
 def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
@@ -212,7 +241,9 @@ def ejecutar_train_paralelo(modelo, epochs, train_cfg=None, scale="n",
         num_cortes=modelo.num_cortes, input_dir=config.dataset_entrada,
         plano=modelo.plano, modalidad=modelo.modalidad,
     )
-    cfg = train_cfg or TrainConfig(epochs=epochs, batch_size=-1)
+    cfg = train_cfg or TrainConfig(
+        epochs=epochs, batch_size=-1, pretrained=resolver_pretrained()
+    )
     model, _ = create_model(
         nc=1, scale=scale, dtype=_compute_dtype(cfg), remat=cfg.remat
     )
@@ -245,7 +276,7 @@ def main(argv=None):
     )
     cfg = TrainConfig(
         epochs=args.epochs, batch_size=args.batch, amp=not args.no_amp,
-        imgsz=args.imgsz,
+        imgsz=args.imgsz, pretrained=resolver_pretrained(args.pretrained),
     )
     if args.paralelo:
         ejecutar_train_paralelo(

@@ -80,6 +80,11 @@ class TrainConfig:
     # Consumed at model-creation time (stages/train.py); the train step
     # itself is dtype-agnostic.
     amp: bool = True
+    # warm-start weights (args.yaml:15 pretrained: true — the reference
+    # fine-tunes from COCO yolo11n-seg.pt, ConfigTrain.py:139). Path to an
+    # ultralytics .pt on disk, imported torch-free via model/import_pt.py
+    # with ultralytics' intersect-on-shape semantics; "" = clean init.
+    pretrained: str = ""
     # rematerialize the big model blocks in backward (bit-identical
     # results, trades recompute FLOPs for activation HBM -> larger
     # auto-batch). Consumed at model-creation time like `amp`.
@@ -241,6 +246,16 @@ def init_train_state(model, cfg: TrainConfig, steps_per_epoch: int, rng=None):
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     x = jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames="train")(rng, x, train=False)
+    if cfg.pretrained:
+        from tpu_mslesseg.model.import_pt import load_pretrained
+        from tpu_mslesseg.pipeline.logging_setup import get_logger
+
+        variables, report = load_pretrained(cfg.pretrained, variables)
+        get_logger(__file__).info(
+            f"🧬 Pretrained {cfg.pretrained}: "
+            f"{len(report['transferred'])}/{report['total_ours']} transferidos "
+            f"({len(report['mismatched'])} sin forma compatible)."
+        )
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     return TrainState(
         params=variables["params"],

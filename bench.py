@@ -184,6 +184,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # drop ONLY the benign same-host +prefer-no-scatter/gather AOT lines
+    # from the recorded stderr tail; a real cross-host feature mismatch
+    # still prints (see core/runtime.py and docs/aot_cache_warning.md)
+    from tpu_mslesseg.core.runtime import filter_benign_aot_warnings
+
+    filter_benign_aot_warnings()
+
     tpu_dead = not _tpu_tunnel_alive()
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")

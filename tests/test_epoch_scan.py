@@ -107,6 +107,83 @@ def test_epoch_fn_matches_per_step_loop():
     assert int(state_b.step) == steps
 
 
+def test_epoch_fn_production_bias_warmup_nonbias_pin():
+    """Scan-vs-loop equality on the NON-bias subset under the production
+    warmup_bias_lr=0.1 — so the default-config scan program keeps an
+    equality pin (ADVICE r3). Bias leaves are excluded: Adam amplifies
+    reassociation noise on ~1e-7 gradients into full-lr updates there
+    (see test_epoch_fn_matches_per_step_loop's rationale); everything
+    else must still match tightly."""
+    model, _ = create_model(nc=1, scale="n")
+    cfg = trainer.TrainConfig(epochs=1, batch_size=2, imgsz=64, max_fg=8)
+    assert cfg.warmup_bias_lr == 0.1  # the production default
+    dd = _tiny_dataset()
+    steps = 2
+    acfg = augment.AugConfig(imgsz=64, max_inst=3, mosaic=True)
+
+    state_a = trainer.init_train_state(model, cfg, steps)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ke = jax.random.split(key)
+    idx = tdata.epoch_indices(ke, 6, cfg.batch_size, mosaic=True)[:steps]
+
+    step_fn = trainer.make_train_step(model, cfg, steps)
+    key_a = key
+    la = []
+    for s in range(steps):
+        key_a, ka = jax.random.split(key_a)
+        state_a, m = step_fn(state_a, augment.make_batch(ka, dd, idx[s], acfg))
+        la.append(float(m["loss"]))
+
+    epoch_fn = trainer.make_epoch_fn(model, cfg, steps, acfg)
+    _, kas = trainer.split_chain(key, steps)
+    state_b, ms_b = epoch_fn(state_b, kas, dd, idx)
+
+    np.testing.assert_allclose(np.asarray(ms_b["loss"]), np.array(la),
+                               rtol=1e-6)
+    flat_a = jax.tree_util.tree_flatten_with_path(state_a.params)[0]
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    checked = 0
+    for (path, a), b in zip(flat_a, flat_b):
+        if path[-1].key == "bias":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=5e-5,
+            err_msg="/".join(p.key for p in path),
+        )
+        checked += 1
+    assert checked > 100  # the non-bias subset is the bulk of the model
+
+
+def test_update_fn_past_horizon_keeps_applying():
+    """Driving more micro-steps than the precomputed epochs*steps horizon
+    must fall back to the fixed post-warmup cadence instead of silently
+    freezing the optimizer/EMA (ADVICE r3, trainer.py:283)."""
+    cfg = trainer.TrainConfig(epochs=1, batch_size=32, nbs=64,
+                              warmup_epochs=0.0, imgsz=64)
+    steps = 4  # horizon T=4, fixed accumulate=2 -> applies at ni 1,3
+    _, update = trainer.make_update_fn(cfg, steps)
+    p = {"w": {"kernel": jnp.ones((2, 2), jnp.float32)}}
+    tx, _ = trainer.make_optimizer(cfg, steps)
+    opt = tx.init(p)
+    acc = jax.tree_util.tree_map(jnp.zeros_like, p)
+    ema = jax.tree_util.tree_map(jnp.copy, p)
+    g = {"w": {"kernel": jnp.full((2, 2), 0.1, jnp.float32)}}
+
+    applied = []
+    params = p
+    for ni in range(10):  # 6 steps past the horizon
+        before = np.asarray(params["w"]["kernel"]).copy()
+        acc, opt, params, ema = update(ni, g, acc, opt, params, ema)
+        applied.append(not np.array_equal(before,
+                                          np.asarray(params["w"]["kernel"])))
+    # within horizon: cadence mask (accumulate=2 -> ni 1, 3)
+    assert applied[:4] == [False, True, False, True]
+    # beyond horizon: keeps firing every `fixed` steps (ni 5, 7, 9)
+    assert applied[4:] == [False, True, False, True, False, True]
+
+
 def test_fold_key_chain_matches_host_loop():
     from tpu_mslesseg.train import fold_parallel
 

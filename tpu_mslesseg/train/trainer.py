@@ -133,11 +133,21 @@ def apply_cadence(cfg: TrainConfig, steps_per_epoch: int,
     """
     T = int(total_steps if total_steps is not None
             else steps_per_epoch * cfg.epochs)
-    fixed = accumulate_steps(cfg)
+    # memoized: make_optimizer and make_update_fn both need the cadence,
+    # and a step-fn build would otherwise run the O(T) host loop twice
+    return _apply_cadence_cached(
+        cfg.warmup_epochs, cfg.nbs, cfg.batch_size, steps_per_epoch, T,
+        accumulate_steps(cfg),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _apply_cadence_cached(warmup_epochs, nbs, batch_size, steps_per_epoch,
+                          T, fixed):
     mask = np.zeros(max(T, 1), np.bool_)
-    if cfg.warmup_epochs > 0:
-        nw = max(round(cfg.warmup_epochs * steps_per_epoch), 100)
-        tgt = cfg.nbs / max(cfg.batch_size, 1)
+    if warmup_epochs > 0:
+        nw = max(round(warmup_epochs * steps_per_epoch), 100)
+        tgt = nbs / max(batch_size, 1)
         last = -1
         acc = fixed
         for ni in range(mask.size):
@@ -150,10 +160,13 @@ def apply_cadence(cfg: TrainConfig, steps_per_epoch: int,
                 last = ni
     else:
         mask[fixed - 1 :: fixed] = True
+    mask.setflags(write=False)  # cached arrays are shared across callers
     n_applies = np.cumsum(mask).astype(np.int32)
     apply_ni = np.nonzero(mask)[0].astype(np.int32)
     if apply_ni.size == 0:  # degenerate short runs: keep the LUT non-empty
         apply_ni = np.zeros(1, np.int32)
+    n_applies.setflags(write=False)
+    apply_ni.setflags(write=False)
     return mask, n_applies, apply_ni
 
 
@@ -285,18 +298,33 @@ def make_update_fn(cfg: TrainConfig, steps_per_epoch: int):
     outputs from the operands so the cond stays valid inside shard_map.
     """
     tx, _ = make_optimizer(cfg, steps_per_epoch)
-    mask, napp, _ = apply_cadence(cfg, steps_per_epoch)
+    mask, napp, apply_ni = apply_cadence(cfg, steps_per_epoch)
     mask_c = jnp.asarray(mask)
     napp_c = jnp.asarray(napp)
+    fixed = accumulate_steps(cfg)
+    last_ni = int(apply_ni[-1])  # micro-step of the final precomputed apply
 
     def update(step_i, grads, grad_accum, opt_state, params, ema):
         grads_sum = jax.tree_util.tree_map(
             lambda a, g: a + g.astype(a.dtype), grad_accum, grads
         )
         i = jnp.clip(step_i, 0, mask_c.size - 1)
-        # past the precomputed horizon nothing applies (run length == T)
-        do_apply = jnp.logical_and(mask_c[i], step_i < mask_c.size)
-        n_applies = napp_c[i]  # ema update count at an apply (inclusive)
+        # past the precomputed horizon (a caller driving more steps than
+        # the build-time epochs*steps_per_epoch, e.g. a resume with a
+        # smaller nominal) the optimizer must NOT silently freeze: fall
+        # back to the fixed post-warmup cadence anchored at the last
+        # precomputed apply; the lr LUT clamps to the final schedule value
+        since = step_i - last_ni
+        beyond = step_i >= mask_c.size
+        do_apply = jnp.where(
+            beyond,
+            jnp.logical_and(since > 0, since % fixed == 0),
+            mask_c[i],
+        )
+        # ema update count at an apply (inclusive)
+        n_applies = jnp.where(
+            beyond, napp_c[-1] + since // fixed, napp_c[i]
+        )
 
         def apply_branch(args):
             grads_sum, opt_state, params, ema = args

@@ -125,6 +125,68 @@ def test_lote_sharded_matches_unsharded():
         np.testing.assert_array_equal(np.asarray(vols0[p]), np.asarray(volsm[p]))
 
 
+def test_lote_multimodal_per_plane_counts_matches_per_patient():
+    """The serving-knee product path (VERDICT r3 #4): lote with modality
+    dicts + per_plane_counts — what the multi-patient --rapido path uses —
+    equals the per-patient fused calls bitwise."""
+    model, variables, slices, idx, gt = _setup()
+    multi = {p: {"T1": slices[p], "FLAIR": jnp.flip(slices[p], axis=1)} for p in PLANES}
+    multi2 = {p: {m: jnp.flip(v, axis=2) for m, v in multi[p].items()} for p in PLANES}
+
+    cp = ConsensusPredictor(
+        model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ,
+        per_plane_counts=True,
+    )
+    counts_a, cons_a, vols_a = cp(multi, idx, gt)
+    counts_b, cons_b, vols_b = cp(multi2, idx, gt)
+
+    sl = {
+        p: {m: jnp.stack([multi[p][m], multi2[p][m]]) for m in multi[p]}
+        for p in PLANES
+    }
+    ix = {p: jnp.stack([idx[p], idx[p]]) for p in PLANES}
+    gts = jnp.stack([gt, gt])
+    counts, cons, vols = cp.lote(sl, ix, gts)
+
+    assert set(counts) == set(PLANES) | {"consenso"}
+    for key in counts:
+        np.testing.assert_array_equal(np.asarray(counts[key][0]), np.asarray(counts_a[key]))
+        np.testing.assert_array_equal(np.asarray(counts[key][1]), np.asarray(counts_b[key]))
+    np.testing.assert_array_equal(np.asarray(cons[0]), np.asarray(cons_a))
+    np.testing.assert_array_equal(np.asarray(cons[1]), np.asarray(cons_b))
+    for p in PLANES:
+        np.testing.assert_array_equal(np.asarray(vols[p][0]), np.asarray(vols_a[p]))
+        np.testing.assert_array_equal(np.asarray(vols[p][1]), np.asarray(vols_b[p]))
+
+
+def test_lote_oob_padding_matches_unpadded():
+    """Grouping patients with different slice counts pads the short ones
+    with OOB scatter indices (same trick as the mesh path): the padded
+    patient's counts/volumes must equal its individual unpadded call."""
+    model, variables, slices, idx, gt = _setup()
+    cp = ConsensusPredictor(model, variables, VOL_SHAPE, mejora="GC", imgsz=IMGSZ)
+
+    # patient b serves only the first N-1 slices
+    slices_b = {p: slices[p][:-1] for p in PLANES}
+    idx_b = {p: idx[p][:-1] for p in PLANES}
+    counts_a, cons_a, _ = cp(slices, idx, gt)
+    counts_b, cons_b, _ = cp(slices_b, idx_b, gt)
+
+    oob = max(VOL_SHAPE)
+    sl = {
+        p: jnp.stack([slices[p], jnp.pad(slices_b[p], ((0, 1), (0, 0), (0, 0)))])
+        for p in PLANES
+    }
+    ix = {
+        p: jnp.stack([idx[p], jnp.pad(idx_b[p], (0, 1), constant_values=oob)])
+        for p in PLANES
+    }
+    counts, cons, _ = cp.lote(sl, ix, jnp.stack([gt, gt]))
+    np.testing.assert_array_equal(np.asarray(counts[0]), np.asarray(counts_a))
+    np.testing.assert_array_equal(np.asarray(counts[1]), np.asarray(counts_b))
+    np.testing.assert_array_equal(np.asarray(cons[1]), np.asarray(cons_b))
+
+
 def test_multimodal_union_matches_per_modality_or():
     """The n_mod>1 dict path (the CLI's default --modalidad T1 T2 FLAIR):
     the fused multimodal program's per-plane volume equals the OR of the

@@ -236,25 +236,38 @@ class ConsensusPredictor:
 
     def _run_lote(self, variables, slices, idx, gts):
         n_pat = gts.shape[0]
-        flat = {
-            p: slices[p].reshape((-1,) + slices[p].shape[2:]) for p in self.planes
-        }
+        flat = {}  # [P, N, h, w] -> [P*N, h, w] (per modality when dict)
+        for p in self.planes:
+            sl = slices[p]
+            if isinstance(sl, dict):
+                flat[p] = {m: v.reshape((-1,) + v.shape[2:]) for m, v in sl.items()}
+            else:
+                flat[p] = sl.reshape((-1,) + sl.shape[2:])
         union, segs = self._union_logits(variables, flat)
         vols = {}
         start = 0
-        for p, _, n in segs:
-            masks = self._plane_masks(union[start : start + n], p)
-            start += n
+        for p, n_mod, n in segs:
+            masks = self._plane_masks(union[start : start + n_mod * n], p)
+            start += n_mod * n
+            if n_mod > 1:  # multimodal: binary-mask union across modalities
+                masks = masks.reshape((n_mod, n) + masks.shape[1:]).any(axis=0)
             masks = masks.reshape((n_pat, -1) + masks.shape[1:])
             vols[p] = jax.vmap(
                 lambda m, i, p=p: geometry.insert_slices(
                     self.vol_shape, m.astype(jnp.float32), p, i
                 )
             )(masks, idx[p])
-        cons = consensus_vote(  # elementwise: batches over patients free
-            vols["axial"], vols["coronal"], vols["sagital"], self.umbral
-        )
-        counts = jax.vmap(mx._confusion_counts)(gts, cons)
+        cons = None
+        if len(self.planes) == 3:
+            cons = consensus_vote(  # elementwise: batches over patients free
+                vols["axial"], vols["coronal"], vols["sagital"], self.umbral
+            )
+        if self.per_plane_counts:
+            counts = {p: jax.vmap(mx._confusion_counts)(gts, vols[p]) for p in vols}
+            if cons is not None:
+                counts["consenso"] = jax.vmap(mx._confusion_counts)(gts, cons)
+        else:
+            counts = jax.vmap(mx._confusion_counts)(gts, cons)
         return counts, cons, vols
 
     def __call__(self, slices, idx, gt):
@@ -272,17 +285,21 @@ class ConsensusPredictor:
         )
 
     def lote(self, slices, idx, gts):
-        """Batch of patients in ONE dispatch: `slices[p]` [P, N, h, w],
-        `idx[p]` [P, N], `gts` [P, X, Y, Z]. Returns per-patient
-        (counts [P,4], consensus [P,...], vols {plane: [P,...]}).
+        """Batch of patients in ONE dispatch: `slices[p]` [P, N, h, w]
+        (or {modalidad: [P, N, h, w]} — per-modality predictions union
+        like the stage chain), `idx[p]` [P, N], `gts` [P, X, Y, Z].
+        Returns per-patient (counts [P,4] — or {plane: [P,4]} with
+        ``per_plane_counts``, consensus [P,...], vols {plane: [P,...]}).
 
         With a mesh, the per-patient slice axis is sharded over 'data'
         (padded to the axis size with out-of-bounds scatter indices, which
         XLA drops — results are identical to the unsharded program)."""
         slices, idx = dict(slices), dict(idx)
         for p in self.planes:
-            h, w = geometry.slice_shape(self.vol_shape, p)
-            assert slices[p].shape[2:] == (h, w), (p, slices[p].shape)
+            sl = slices[p]
+            for arr in (sl.values() if isinstance(sl, dict) else [sl]):
+                h, w = geometry.slice_shape(self.vol_shape, p)
+                assert arr.shape[2:] == (h, w), (p, arr.shape)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -290,20 +307,33 @@ class ConsensusPredictor:
 
             n_data = int(self.mesh.shape[meshlib.DATA_AXIS])
             sh = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
-            for p in self.planes:
-                n = slices[p].shape[1]
-                pad = meshlib.pad_to_multiple(n, n_data) - n
+
+            def _pad_shard(arr, pad):
                 if pad:
-                    slices[p] = jnp.pad(slices[p], ((0, 0), (0, pad), (0, 0), (0, 0)))
+                    arr = jnp.pad(arr, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                return jax.device_put(arr, sh)
+
+            for p in self.planes:
+                sl = slices[p]
+                mods = sl if isinstance(sl, dict) else None
+                n = next(iter(mods.values())).shape[1] if mods else sl.shape[1]
+                pad = meshlib.pad_to_multiple(n, n_data) - n
+                if mods is not None:
+                    slices[p] = {m: _pad_shard(v, pad) for m, v in mods.items()}
+                else:
+                    slices[p] = _pad_shard(sl, pad)
+                if pad:
                     # OOB index: the padded slices' scatter updates drop
                     idx[p] = jnp.pad(
                         idx[p], ((0, 0), (0, pad)),
                         constant_values=max(self.vol_shape),
                     )
-                slices[p] = jax.device_put(slices[p], sh)
                 idx[p] = jax.device_put(idx[p], sh)
             gts = jax.device_put(gts, meshlib.replicated(self.mesh))
-        return self._jitted_lote(self.variables, slices, idx, gts)
+        to_d = lambda v: dict(v) if isinstance(v, dict) else v
+        return self._jitted_lote(
+            self.variables, {p: to_d(slices[p]) for p in self.planes}, idx, gts
+        )
 
     @staticmethod
     def metrics_from_counts(counts) -> dict:

@@ -74,9 +74,12 @@ def ejecutar_pipeline(
 ):
     """Full pipeline for one experiment config (or one patient).
 
-    ``rapido`` (patient mode): serve stages 3-6 through the fused
-    single-program path (pipeline/rapido.py) instead of the per-stage
-    chain — same artifacts minus the prediction-PNG intermediates."""
+    ``rapido``: serve stages 3-6 through the fused-program path
+    (pipeline/rapido.py) instead of the per-stage chain — same artifacts
+    minus the prediction-PNG intermediates. Patient mode runs one fused
+    program; full mode serves each fold's patients 4 per dispatch (the
+    measured serving knee) and the chain stages reduce to skips +
+    fold-level aggregation."""
     from tpu_mslesseg.core.profiling import stage_timer
 
     # Stage 0: dataset setup
@@ -140,22 +143,44 @@ def ejecutar_pipeline(
             logger.header("\n🏁 Pipeline completado (vía rápida).")
             return
 
+    # Full-experiment fast path: each fold's stages 3-6 per-patient work
+    # as fused multi-patient programs (4 patients/dispatch — the measured
+    # serving knee). Folds it serves skip the prediction stage below; the
+    # remaining stages see their artifacts on disk and reduce to skips +
+    # fold-level aggregation. Falls back to the chain per fold.
+    folds_rapido = set()
+    if rapido and paciente is None:
+        from tpu_mslesseg.pipeline import rapido as rapido_mod
+
+        for k in folds:
+            if not existe_modelo_entrenado(modelo, epochs, k):
+                continue
+            with stage_timer(f"rapido_fold{k}"):
+                ok = rapido_mod.ejecutar_fold_rapido(
+                    modelo, epochs=epochs, k_folds=modelo.k_folds,
+                    fold_test=k, umbral=umbral_consenso, limpiar=limpiar,
+                )
+            if ok:
+                folds_rapido.add(k)
+
     # Stages 3-4: prediction + reconstruction
     for k in folds:
         if not existe_modelo_entrenado(modelo, epochs, k):
             logger.warning(f"⚠️ Sin modelo para el fold {k}; se omiten predicciones.")
             continue
-        with stage_timer(f"predicciones_fold{k}"):
-            generar_predicciones.ejecutar_predicciones_pipeline(
-                modelo, epochs=epochs, k_folds=modelo.k_folds,
-                fold_test=None if paciente is not None else k,
-                paciente=paciente, limpiar=limpiar,
-            )
+        if k not in folds_rapido:
+            with stage_timer(f"predicciones_fold{k}"):
+                generar_predicciones.ejecutar_predicciones_pipeline(
+                    modelo, epochs=epochs, k_folds=modelo.k_folds,
+                    fold_test=None if paciente is not None else k,
+                    paciente=paciente, limpiar=limpiar,
+                )
         with stage_timer(f"reconstrucciones_fold{k}"):
             reconstruir_volumen.ejecutar_reconstrucciones_pipeline(
                 modelo, epochs=epochs, k_folds=modelo.k_folds,
                 fold_test=None if paciente is not None else k,
-                paciente=paciente, limpiar=limpiar,
+                paciente=paciente,
+                limpiar=limpiar and k not in folds_rapido,
             )
 
     # Stage 6: per-plane evaluation
@@ -163,7 +188,8 @@ def ejecutar_pipeline(
         eval_stage.ejecutar_eval_pipeline(
             modelo, epochs=epochs, k_folds=modelo.k_folds,
             fold_test=None if paciente is not None else k,
-            paciente=paciente, limpiar=limpiar,
+            paciente=paciente,
+            limpiar=limpiar and k not in folds_rapido,
         )
 
     # Stage 5+6: consensus + consensus eval (full-experiment only, gated on
@@ -172,11 +198,13 @@ def ejecutar_pipeline(
         for k in folds:
             generar_consenso.ejecutar_consenso_pipeline(
                 modelo, epochs=epochs, k_folds=modelo.k_folds, fold_test=k,
-                umbral=umbral_consenso, limpiar=limpiar,
+                umbral=umbral_consenso,
+                limpiar=limpiar and k not in folds_rapido,
             )
             eval_stage.ejecutar_eval_pipeline(
                 modelo, epochs=epochs, k_folds=modelo.k_folds, fold_test=k,
-                plano_forzado="consenso", limpiar=limpiar,
+                plano_forzado="consenso",
+                limpiar=limpiar and k not in folds_rapido,
             )
     elif paciente is None:
         logger.info(
@@ -223,9 +251,10 @@ def parsear_args(argv=None):
     parser.add_argument("--limpiar", action="store_true")
     parser.add_argument(
         "--rapido", action="store_true",
-        help="(modo paciente) Servir predicción+reconstrucción+consenso+"
-             "evaluación como UN programa fusionado en el acelerador "
-             "(~3100 cortes/s/chip); mismos artefactos sin los PNG "
+        help="Servir predicción+reconstrucción+consenso+evaluación como "
+             "programas fusionados en el acelerador (modo paciente: un "
+             "programa; modo completo: 4 pacientes por despacho, "
+             "~3465 cortes/s/chip); mismos artefactos sin los PNG "
              "intermedios.",
     )
     return parser.parse_args(argv if argv is not None else sys.argv[1:])

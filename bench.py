@@ -87,12 +87,15 @@ def _peak_bf16_flops(device) -> float | None:
     return None
 
 
-def measure_train_throughput(peak_flops, batch: int = 32, imgsz: int = 640,
+def measure_train_throughput(peak_flops, batch: int = 128, imgsz: int = 640,
                              k_steps: int = 20):
-    # batch=32 is the deployed scale: after the checkpointed mask loss
-    # (r3) the AOT peak at b=32 is 4.6 GiB (was 17.4 — the r2 OOM), so
-    # auto-batch resolves >=32 on v5e. r2's recorded 155 slices/s was
-    # b=8, the old memory wall.
+    # batch=128 is the deployed scale on v5e: auto-batch's verify+climb
+    # pass (r4) resolves it against the measured AOT peaks (8.50G at 128
+    # vs the 9.60G 60%-HBM budget), and the measured ladder peaks there —
+    # 317 sl/s @32, 356 @64, 466 @96, 514 @112, 556 @128, then XLA
+    # switches schedule and REGRESSES (407 @160 with a 13.9G peak).
+    # History: r2 155 sl/s @8 (pre-checkpointed-mask-loss memory wall),
+    # r3 317 @32.
     """Steady-state throughput of the real fused augment->train-step
     program (the epoch-scan body) in slices/s, plus its MFU.
 

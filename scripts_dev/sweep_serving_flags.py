@@ -59,10 +59,15 @@ print(json.dumps({"sps": round(n_pat * n * 3 * K / dt, 1),
 
 
 def main():
+    # NOTE (measured): the axon client's XLA_FLAGS parser hard-fails on
+    # TPU-compiler flags ("Unknown flag in XLA_FLAGS") — those belong to
+    # libtpu and are passed via LIBTPU_INIT_ARGS on TPU systems.
     for name, flags in VARIANTS.items():
         env = dict(os.environ)
         if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+            env["LIBTPU_INIT_ARGS"] = (
+                env.get("LIBTPU_INIT_ARGS", "") + " " + flags
+            ).strip()
         r = subprocess.run(
             [sys.executable, "-u", "-c", INNER],
             env=env, capture_output=True, text=True, timeout=1800,

@@ -65,6 +65,61 @@ def test_auto_batch_aot_probe_on_cpu(monkeypatch, tmp_path, tiny_train_setup):
     assert isinstance(b, int) and b >= 1
 
 
+def test_auto_batch_verifies_solved_batch(monkeypatch, tmp_path, tiny_train_setup):
+    """The extrapolated solve is VERIFIED with one AOT compile at the
+    solved batch (measured v5e peaks run up to ~20% off the probe line):
+    when the actual peak overshoots the budget, the batch steps down by 8
+    until it fits."""
+    model, cfg, train_set, acfg = tiny_train_setup
+    monkeypatch.setenv("TPU_MSLESSEG_HBM_BYTES", str(10 << 30))
+    monkeypatch.setattr(autobatch, "_CACHE_PATH", tmp_path / "autobatch.json")
+
+    gib = 1 << 30
+    calls = []
+
+    def fake_peaks(model_, cfg_, ts_, acfg_, b):
+        calls.append(b)
+        # linear through (8,16) predicts 2G + 50MiB*b -> solver says 128;
+        # actual peaks jump superlinearly past b=64
+        base = 2 * gib + b * (50 << 20)
+        return base if b <= 64 else base + (b - 64) * (200 << 20)
+
+    monkeypatch.setattr(autobatch, "_peak_bytes", fake_peaks)
+    b = autobatch.auto_batch_size(model, cfg, train_set, acfg)
+    # budget 6G: line solves 81 -> 80; actual(80) = 9.12G > 6G... walk down
+    budget = 10 * gib * autobatch.DEFAULT_FRACTION
+    assert fake_peaks(model, cfg, train_set, acfg, b) <= budget
+    calls.clear()
+    assert b % 8 == 0 and b <= 64
+    # and the result is memoized: a second call does zero AOT probes
+    b2 = autobatch.auto_batch_size(model, cfg, train_set, acfg)
+    assert b2 == b and calls == []
+
+
+def test_auto_batch_climbs_when_actual_peaks_undershoot(
+    monkeypatch, tmp_path, tiny_train_setup
+):
+    """The verify pass also CLIMBS: when actual peaks land under the
+    probe line (v5e: the line said 112 but 128 fits and measures faster),
+    the batch steps up while the next multiple still fits, bounded by
+    max_batch."""
+    model, cfg, train_set, acfg = tiny_train_setup
+    monkeypatch.setenv("TPU_MSLESSEG_HBM_BYTES", str(10 << 30))
+    monkeypatch.setattr(autobatch, "_CACHE_PATH", tmp_path / "autobatch.json")
+
+    gib = 1 << 30
+
+    def fake_peaks(model_, cfg_, ts_, acfg_, b):
+        # probes (8,16) put the line at 2G + 50MiB/img (solves 80);
+        # actual peaks past the probes grow at only 30MiB/img
+        per = (50 << 20) if b <= 16 else (30 << 20)
+        return 2 * gib + b * per
+
+    monkeypatch.setattr(autobatch, "_peak_bytes", fake_peaks)
+    b = autobatch.auto_batch_size(model, cfg, train_set, acfg)
+    assert b == 128  # climbed from the solved 80 to the max_batch cap
+
+
 @pytest.fixture
 def tiny_train_setup():
     import jax.numpy as jnp

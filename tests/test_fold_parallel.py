@@ -190,6 +190,14 @@ def test_train_folds_parallel_engine_on_mesh(tmp_path, rng):
         for r in rows[1:]:
             for v in r[2:6]:
                 assert np.isfinite(float(v))
+        # args.yaml hyperparameter snapshot, like the sequential engine
+        # (missing from the --paralelo path until the 53-patient dress
+        # rehearsal caught it)
+        import yaml
+
+        args = yaml.safe_load((out / "args.yaml").read_text())
+        assert args["fold_test"] == k and args["epochs"] == 2
+        assert args["plano"] == "axial" and args["k_folds"] == 2
 
 
 def test_train_folds_parallel_resume(tmp_path, rng):

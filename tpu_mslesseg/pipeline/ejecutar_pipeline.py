@@ -264,7 +264,12 @@ def main(argv=None):
     # multi-host opt-in (no-op single-process): must run before the first
     # device query so the JAX backends bind to the global topology
     from tpu_mslesseg.core import distributed
+    from tpu_mslesseg.core.runtime import filter_benign_aot_warnings
 
+    # CLI runs on an XLA-CPU backend print the benign same-host AOT
+    # tuning-feature lines on every cache load (docs/aot_cache_warning.md)
+    # — drop only those; real mismatches still print
+    filter_benign_aot_warnings()
     distributed.maybe_initialize()
     configure_logging(log_file="pipeline.log")
     args = parsear_args(argv)

@@ -287,8 +287,6 @@ def ejecutar_fold_rapido(
     final partial batch pads by repeating its last patient (the repeats'
     results are simply not written). Dispatch is async — batch i+1
     enqueues while batch i's volumes fetch."""
-    import jax
-
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model_from_env
     from tpu_mslesseg.pipeline.modelo import Modelo

@@ -234,6 +234,44 @@ def auto_batch_size(
             f"imgsz/escala o fije --batch explícitamente."
         )
 
+    # verify at the SOLVED batch: the measured v5e peaks are piecewise —
+    # up to ±20% off the (8,16) line either way (XLA picks a different
+    # schedule per batch: b=64 compiled +18% ABOVE the line, b=160 jumped
+    # 75% above it) — so the extrapolated answer can overshoot the budget
+    # OR leave real capacity unused. Walk down until the ACTUAL peak
+    # fits, then climb while the next multiple still fits (on v5e the
+    # line solves 112 but 128 fits AND measures +8% throughput). Each
+    # step is one AOT compile; the resolved batch is memoized on disk.
+    def _actual_peak(bb):
+        try:
+            return _peak_bytes(model, cfg, train_set, acfg, bb)
+        except Exception as e:
+            logger.warning(
+                f"⚠️ batch=-1: verificación AOT en b={bb} falló ({e}); "
+                f"usando el ajuste lineal sin verificar."
+            )
+            return None
+
+    if b > probes[1]:
+        verified = True
+        while b > probes[1]:
+            peak_b = _actual_peak(b)
+            if peak_b is None:
+                verified = False
+                break
+            if peak_b <= budget:
+                break
+            logger.info(
+                f"🤖 batch=-1: b={b} excede el presupuesto medido "
+                f"({peak_b / 2**30:.2f}G > {budget / 2**30:.2f}G); bajando."
+            )
+            b -= 8
+        while verified and b + 8 <= max_batch:
+            peak_up = _actual_peak(b + 8)
+            if peak_up is None or peak_up > budget:
+                break
+            b += 8
+
     per_image = (peaks[1] - peaks[0]) / (probes[1] - probes[0])
     logger.info(
         f"🤖 batch=-1: HBM {hbm / 2**30:.0f}G x {fraction:.0%} -> "

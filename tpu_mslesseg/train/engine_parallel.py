@@ -32,6 +32,7 @@ from tpu_mslesseg.train import (
     augment,
     checkpoint,
     data as tdata,
+    engine,
     fold_parallel,
     trainer,
     validate,
@@ -203,6 +204,14 @@ def train_folds_parallel(
         out = output_root / f"fold{f + 1}"
         (out / "weights").mkdir(parents=True, exist_ok=True)
         fold_dirs.append(out)
+        # args.yaml snapshot per fold, same artifact as the sequential
+        # engine (the 53-patient dress rehearsal caught this missing from
+        # the --paralelo default path)
+        engine._write_args_yaml(
+            out / "args.yaml", cfg, plano=plano, modalidades=modalidades,
+            mejora=mejora, num_cortes=num_cortes, fold_test=f + 1,
+            k_folds=k_folds,
+        )
         writers.append(trainer.ResultsWriter(
             out / "results.csv", append=start_epoch > 1, from_epoch=start_epoch
         ))

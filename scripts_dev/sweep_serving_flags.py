@@ -47,13 +47,14 @@ cp = ConsensusPredictor(model, variables, patients[0][0].shape, mejora="GC")
 t0 = time.time()
 jax.device_get(cp.lote(slices, idx, gts)[0])
 compile_s = time.time() - t0
-K = 5
+K = 20
 t0 = time.time()
 outs = [cp.lote(slices, idx, gts)[0] for _ in range(K)]
 for o in outs:
     jax.device_get(o)
 dt = time.time() - t0
 print(json.dumps({"sps": round(n_pat * n * 3 * K / dt, 1),
+                  "ms_per_dispatch": round(dt / K * 1000, 1),
                   "compile_s": round(compile_s, 1)}))
 """
 
@@ -62,7 +63,10 @@ def main():
     # NOTE (measured): the axon client's XLA_FLAGS parser hard-fails on
     # TPU-compiler flags ("Unknown flag in XLA_FLAGS") — those belong to
     # libtpu and are passed via LIBTPU_INIT_ARGS on TPU systems.
-    for name, flags in VARIANTS.items():
+    # Baseline runs FIRST and LAST: if the two disagree materially the
+    # host/tunnel drifted mid-sweep and the table is not trustworthy.
+    order = list(VARIANTS.items()) + [("baseline_again", "")]
+    for name, flags in order:
         env = dict(os.environ)
         if flags:
             env["LIBTPU_INIT_ARGS"] = (

@@ -43,6 +43,34 @@ from tpu_mslesseg.preproc import enhance
 PLANES = ("axial", "coronal", "sagital")
 
 
+def set_serving_tpu_flags() -> bool:
+    """Export the measured-win serving flag into LIBTPU_INIT_ARGS.
+
+    Scoped VMEM 64 MiB is the measured knee for the fused serving
+    program on v5e (round-4 flag sweep, drift-checked baseline repeat:
+    3665.6 vs 3547.7 slices/s default, +3.3%; 96 MiB regresses to
+    3487.5, 32 MiB crashes the worker). The flag REGRESSES the b=128
+    train step by 5%, and the per-program `jax.jit compiler_options`
+    route is catastrophic through the axon tunnel (measured 180 slices/s
+    — 20× slower than default; computation-level env overrides appear to
+    defeat the remote executor's caching), so the deployment is the
+    process env var, called ONLY by serving-only entry points BEFORE the
+    TPU backend initializes (libtpu reads the env at plugin init).
+    Respects a user-provided scoped-vmem setting; opt out with
+    TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when active."""
+    import os
+
+    if os.environ.get("TPU_MSLESSEG_NO_TPU_FLAGS") == "1":
+        return False
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "--xla_tpu_scoped_vmem_limit_kib" in cur:
+        return True
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        cur + " --xla_tpu_scoped_vmem_limit_kib=65536"
+    ).strip()
+    return True
+
+
 class ConsensusPredictor:
     """Single-program 3-plane predict + reconstruct + consensus + metrics.
 

@@ -189,39 +189,58 @@ def _serving_flag_enabled() -> bool:
     return os.environ.get("TPU_MSLESSEG_NO_TPU_FLAGS") != "1"
 
 
-def _serving_child() -> dict | None:
+def _serving_child() -> tuple[dict | None, bool]:
     """Run the TPU serving measurement in a subprocess whose env carries
     the measured-win serving flag (scoped VMEM 64 MiB: +3.3% on v5e,
-    round-4 sweep — see infer/consensus3.set_serving_tpu_flags).
+    round-4 sweep) — built through the SAME helper the product entry
+    points call (infer/consensus3.set_serving_tpu_flags) so the flag
+    string cannot drift.
 
     The flag REGRESSES the b=128 train step 5% and libtpu reads the env
     once at plugin init, so one process cannot serve flagged AND train
     unflagged; the tunnel allows exactly one live TPU client, so the
-    child runs BEFORE this process touches the backend. Returns the
-    child's serving fields, or None on any failure (parent then measures
-    serving in-process, unflagged — the r3 behavior)."""
+    child runs BEFORE this process touches the backend.
+
+    Returns ``(fields, relay_ok)``. ``fields`` is None on any failure
+    (parent then measures serving in-process, unflagged). ``relay_ok``
+    is False when the relay is gone or unsafe to touch: a killed child
+    (timeout) wedges the tunnel for ~1-2 min and a device op on a dead
+    relay hangs FOREVER, so the parent must re-probe — with the recovery
+    wait — before its own first device op (ADVICE r4). A child that ran
+    on the XLA-CPU backend (relay died between the parent's probe and
+    the child's) is rejected: its value is a CPU floor, not a chip
+    serving number (ADVICE r4)."""
     import os
     import subprocess
     import sys
+    import time as _t
+
+    from tpu_mslesseg.infer.consensus3 import set_serving_tpu_flags
 
     env = dict(os.environ)
-    cur = env.get("LIBTPU_INIT_ARGS", "")
-    if "--xla_tpu_scoped_vmem_limit_kib" not in cur:
-        env["LIBTPU_INIT_ARGS"] = (
-            cur + " --xla_tpu_scoped_vmem_limit_kib=65536"
-        ).strip()
+    set_serving_tpu_flags(env=env)
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--serve-child"],
             env=env, capture_output=True, text=True, timeout=1200,
         )
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if r.returncode != 0 or not lines:
-            return None
-        out = json.loads(lines[-1])
-        return out if "value" in out else None
+    except subprocess.TimeoutExpired:
+        # the killed client wedges the relay; wait out the recovery
+        # window, then trust only a fresh probe
+        _t.sleep(90)
+        return None, _tpu_tunnel_alive()
     except Exception:
-        return None
+        return None, _tpu_tunnel_alive()
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        return None, _tpu_tunnel_alive()
+    try:
+        out = json.loads(lines[-1])
+    except ValueError:
+        return None, _tpu_tunnel_alive()
+    if out.get("tpu_dead") or out.get("backend") == "cpu":
+        return None, False
+    return (out if "value" in out else None), True
 
 
 def main(serve_only: bool = False):
@@ -238,7 +257,8 @@ def main(serve_only: bool = False):
     tpu_dead = not _tpu_tunnel_alive()
     serve_child = None
     if not serve_only and not tpu_dead and _serving_flag_enabled():
-        serve_child = _serving_child()
+        serve_child, relay_ok = _serving_child()
+        tpu_dead = tpu_dead or not relay_ok
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")
     # XLA-CPU AOT cache entries are host-CPU-specific (runtime.py) — key
@@ -373,26 +393,42 @@ def main(serve_only: bool = False):
 
     if serve_only:
         out = {"value": round(sps, 2),
-               "latency_batch_ms": round(latency_s * 1e3, 1)}
+               "latency_batch_ms": round(latency_s * 1e3, 1),
+               # the parent rejects a CPU-backend child: that value is a
+               # degraded floor, not a chip serving number (ADVICE r4)
+               "backend": jax.default_backend()}
+        if tpu_dead:
+            out["tpu_dead"] = True
         if mfu is not None:
             out["mfu"] = round(mfu, 4)
         print(json.dumps(out))
         return
 
     # measured CPU floor in the same process: the SAME fused program on
-    # the XLA-CPU backend, 1 patient x 5 slices/plane (per-slice
-    # throughput is n-independent for the conv-dominated path; the full
-    # workload runs minutes on CPU)
-    cpu_sps = None
+    # the XLA-CPU backend, FIXED workload across rounds (1 patient ×
+    # 5 slices/plane; per-slice throughput is n-independent for the
+    # conv-dominated path and the full workload runs minutes on CPU).
+    # Best-of-3 after warmup + recorded host conditions, so the honest
+    # multiplier is reproducible run-over-run (VERDICT r4 #5 — the r3→r4
+    # swing 3.35→1.55 was a single-sample timing under host load).
+    cpu_sps = cpu_host = None
     try:
         n_cpu = 5
         run_cpu, _ = build_runner(
             jax.local_devices(backend="cpu")[0], n=n_cpu, n_patients=1
         )
-        jax.device_get(run_cpu())
-        t0 = time.time()
-        jax.device_get(run_cpu())
-        cpu_sps = 3 * n_cpu / (time.time() - t0)
+        jax.device_get(run_cpu())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(run_cpu())
+            best = min(best, time.time() - t0)
+        cpu_sps = 3 * n_cpu / best
+        cpu_host = {
+            "cores": _os.cpu_count(),
+            "load1": round(_os.getloadavg()[0], 2),
+            "slices": 3 * n_cpu,
+        }
     except Exception:
         pass  # CPU backend unavailable: report the estimate only
 
@@ -413,15 +449,23 @@ def main(serve_only: bool = False):
     except ImportError:
         reference_runnable = False
 
+    # headline multiplier: the measured same-host XLA-CPU floor when it
+    # exists (reproducible, conditions recorded); the 2.5 slices/s
+    # reference-CPU ESTIMATE stays as the labeled cross-round anchor
     out = {
         "metric": "flair_e2e_slices_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "slices/s",
+    }
+    if cpu_sps is not None:
+        out["vs_measured_cpu"] = round(sps / cpu_sps, 2)
+    out.update({
         "vs_baseline": round(sps / BASELINE_SLICES_PER_S, 2),
+        "vs_baseline_kind": "estimate_2.5sps_reference_cpu",
         "latency_batch_ms": round(latency_s * 1e3, 1),
         "reference_runnable": reference_runnable,
         "patients_per_dispatch": len(patients),
-    }
+    })
     if serve_child is not None:
         out["serving_vmem_flag"] = True  # measured in the flagged child
         # (scoped VMEM 64 MiB — the round-4 sweep's +3.3% knee)
@@ -430,7 +474,7 @@ def main(serve_only: bool = False):
         # XLA-CPU floor at reduced scale, NOT a chip number
     if cpu_sps is not None:
         out["measured_cpu_sps"] = round(cpu_sps, 2)
-        out["vs_measured_cpu"] = round(sps / cpu_sps, 2)
+        out["cpu_floor_host"] = cpu_host
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     if train_sps is not None:

@@ -43,7 +43,7 @@ from tpu_mslesseg.preproc import enhance
 PLANES = ("axial", "coronal", "sagital")
 
 
-def set_serving_tpu_flags() -> bool:
+def set_serving_tpu_flags(env=None) -> bool:
     """Export the measured-win serving flag into LIBTPU_INIT_ARGS.
 
     Scoped VMEM 64 MiB is the measured knee for the fused serving
@@ -55,17 +55,26 @@ def set_serving_tpu_flags() -> bool:
     — 20× slower than default; computation-level env overrides appear to
     defeat the remote executor's caching), so the deployment is the
     process env var, called ONLY by serving-only entry points BEFORE the
-    TPU backend initializes (libtpu reads the env at plugin init).
-    Respects a user-provided scoped-vmem setting; opt out with
-    TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when active."""
+    TPU backend initializes (libtpu reads the env at plugin init):
+    the pipeline CLI when the invocation cannot train
+    (``ejecutar_pipeline.invocacion_solo_servicio``), the standalone
+    prediction stage, and bench.py's flagged serving child — all through
+    THIS function so the flag string cannot drift.
+
+    ``env``: the mapping to mutate (default ``os.environ``) — bench.py
+    passes its subprocess env dict. Respects a user-provided scoped-vmem
+    setting; opt out with TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when
+    the flag is (already or now) active in ``env``."""
     import os
 
-    if os.environ.get("TPU_MSLESSEG_NO_TPU_FLAGS") == "1":
+    if env is None:
+        env = os.environ
+    if env.get("TPU_MSLESSEG_NO_TPU_FLAGS") == "1":
         return False
-    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    cur = env.get("LIBTPU_INIT_ARGS", "")
     if "--xla_tpu_scoped_vmem_limit_kib" in cur:
         return True
-    os.environ["LIBTPU_INIT_ARGS"] = (
+    env["LIBTPU_INIT_ARGS"] = (
         cur + " --xla_tpu_scoped_vmem_limit_kib=65536"
     ).strip()
     return True

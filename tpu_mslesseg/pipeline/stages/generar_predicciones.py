@@ -202,6 +202,11 @@ def parsear_args(argv=None):
 
 
 def main(argv=None):
+    # the standalone prediction stage never trains: export the measured
+    # serving-only TPU flag before the backend binds (VERDICT r4 #1)
+    from tpu_mslesseg.infer.consensus3 import set_serving_tpu_flags
+
+    set_serving_tpu_flags()
     args = parsear_args(argv)
     modelo = Modelo(
         plano=args.plano, num_cortes=args.num_cortes, modalidad=args.modalidad,

@@ -143,6 +143,17 @@ class _Unpickler(pickle.Unpickler):
             import collections
 
             return collections.OrderedDict
+        # pure data constructors (no code execution): real nn.Module
+        # pickles carry e.g. _non_persistent_buffers_set as a plain set.
+        # torch.save uses protocol 2, which writes the py2-compat module
+        # name '__builtin__' (the default find_class would remap it; an
+        # override must do so itself).
+        if module in ("builtins", "__builtin__") and name in (
+            "set", "frozenset", "bytearray", "complex",
+        ):
+            import builtins
+
+            return getattr(builtins, name)
         if module == "torch._utils":
             if name == "_rebuild_tensor_v2":
                 return _rebuild_tensor_v2
@@ -201,14 +212,16 @@ def state_dict(obj, prefix: str = "") -> Dict[str, np.ndarray]:
     if not _is_module_stub(obj):
         raise TypeError(f"not a module stub or state_dict: {type(obj)!r}")
     d = obj.__dict__
-    for coll in ("_parameters", "_buffers"):
-        for k, v in (d.get(coll) or {}).items():
-            if isinstance(v, np.ndarray):
-                out[f"{prefix}{k}"] = v
-    # non-persistent buffers are excluded from torch state_dict; stubs
-    # can't know the set, but ultralytics models keep all buffers
-    # persistent except num_batches_tracked-style scalars the importer
-    # ignores anyway.
+    # non-persistent buffers are excluded from torch's state_dict; real
+    # nn.Module pickles carry the exclusion set verbatim (a plain set,
+    # decoded natively) — honor it exactly like torch does
+    non_persistent = d.get("_non_persistent_buffers_set") or ()
+    for k, v in (d.get("_parameters") or {}).items():
+        if isinstance(v, np.ndarray):
+            out[f"{prefix}{k}"] = v
+    for k, v in (d.get("_buffers") or {}).items():
+        if isinstance(v, np.ndarray) and k not in non_persistent:
+            out[f"{prefix}{k}"] = v
     for k, v in (d.get("_modules") or {}).items():
         if v is not None and _is_module_stub(v):
             out.update(state_dict(v, prefix=f"{prefix}{k}."))

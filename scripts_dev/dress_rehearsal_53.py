@@ -39,9 +39,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from tpu_mslesseg.core.runtime import cpu_cache_dir, enable_compilation_cache
+from tpu_mslesseg.core.runtime import (
+    cpu_cache_dir,
+    enable_compilation_cache,
+    filter_benign_aot_warnings,
+)
 
 enable_compilation_cache(cpu_cache_dir())
+# the rehearsal drives ejecutar_pipeline() directly (not the CLI main),
+# so install the same-host AOT tuning-feature filter itself — otherwise
+# every cache load floods the audit log (docs/aot_cache_warning.md)
+filter_benign_aot_warnings()
 
 from tpu_mslesseg.io import nifti
 from tpu_mslesseg.pipeline import ejecutar_pipeline as orch

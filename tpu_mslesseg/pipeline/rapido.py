@@ -286,7 +286,15 @@ def ejecutar_fold_rapido(
     group, slice counts pad to the group max with OOB indices and the
     final partial batch pads by repeating its last patient (the repeats'
     results are simply not written). Dispatch is async — batch i+1
-    enqueues while batch i's volumes fetch."""
+    enqueues while batch i's volumes fetch.
+
+    With more than one device visible, serving runs SPMD: a pure
+    data-parallel mesh over all devices, each patient's slice axis
+    sharded over 'data' (the `lote` mesh path — OOB-padded, equality
+    pinned vs the unsharded program in tests/test_consensus3.py)."""
+    import jax
+
+    from tpu_mslesseg.core import mesh as meshlib
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model_from_env
     from tpu_mslesseg.pipeline.modelo import Modelo
@@ -339,10 +347,17 @@ def ejecutar_fold_rapido(
         grupos.setdefault((p["planes"], p["gt"].shape), []).append(p)
 
     model, _, imgsz = create_model_from_env()
+    mesh = meshlib.make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        logger.info(
+            f"🕸️ Servicio SPMD: eje de cortes repartido sobre "
+            f"{len(jax.devices())} dispositivo(s)."
+        )
     for (planes, vol_shape), grupo in grupos.items():
         cp = ConsensusPredictor(
             model, grupo[0]["variables"], vol_shape, mejora=modelo.mejora,
             imgsz=imgsz, umbral=umbral, planes=planes, per_plane_counts=True,
+            mesh=mesh,
         )
         pendientes = []  # (patients, device results): depth-1 pipeline
         for i in range(0, len(grupo), lote_size):

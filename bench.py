@@ -191,12 +191,13 @@ def _serving_flag_enabled() -> bool:
 
 def _serving_child() -> tuple[dict | None, bool]:
     """Run the TPU serving measurement in a subprocess whose env carries
-    the measured-win serving flag (scoped VMEM 64 MiB: +3.3% on v5e,
-    round-4 sweep) — built through the SAME helper the product entry
-    points call (infer/consensus3.set_serving_tpu_flags) so the flag
-    string cannot drift.
+    the measured-win serving flags (scoped VMEM 64 MiB + rwb-fusion off:
+    3719 slices/s vs 3548 default on v5e, round-4+5 sweeps) — built
+    through the SAME helper the product entry points call
+    (infer/consensus3.set_serving_tpu_flags) so the flag string cannot
+    drift.
 
-    The flag REGRESSES the b=128 train step 5% and libtpu reads the env
+    Scoped VMEM REGRESSES the b=128 train step 5% and libtpu reads the env
     once at plugin init, so one process cannot serve flagged AND train
     unflagged; the tunnel allows exactly one live TPU client, so the
     child runs BEFORE this process touches the backend.
@@ -347,8 +348,8 @@ def main(serve_only: bool = False):
 
     peak_flops = _peak_bf16_flops(jax.devices()[0])
     if serve_child is not None:
-        # serving was measured in the flagged child (scoped VMEM 64 MiB);
-        # this process never compiles the TPU serving program
+        # serving was measured in the flagged child (scoped VMEM 64 MiB
+        # + rwb off); this process never compiles the TPU serving program
         sps = serve_child["value"]
         latency_s = serve_child["latency_batch_ms"] / 1e3
         mfu = serve_child.get("mfu")
@@ -468,7 +469,7 @@ def main(serve_only: bool = False):
     })
     if serve_child is not None:
         out["serving_vmem_flag"] = True  # measured in the flagged child
-        # (scoped VMEM 64 MiB — the round-4 sweep's +3.3% knee)
+        # (scoped VMEM 64 MiB + rwb-fusion off — the r4+r5 sweep winner)
     if tpu_dead:
         out["tpu_unavailable"] = True  # relay probe failed; value is the
         # XLA-CPU floor at reduced scale, NOT a chip number

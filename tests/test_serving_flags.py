@@ -24,26 +24,33 @@ from tpu_mslesseg.infer.consensus3 import set_serving_tpu_flags
 from tpu_mslesseg.pipeline import ejecutar_pipeline as orch
 
 FLAG = "--xla_tpu_scoped_vmem_limit_kib"
+FLAGS = f"{FLAG}=65536 --xla_tpu_rwb_fusion=false"
 
 
 # ---------------------------------------------------------------- helper
 
-def test_helper_sets_flag_in_env_dict():
+def test_helper_sets_flags_in_env_dict():
     env = {}
     assert set_serving_tpu_flags(env=env) is True
-    assert env["LIBTPU_INIT_ARGS"] == f"{FLAG}=65536"
+    assert env["LIBTPU_INIT_ARGS"] == FLAGS
 
 
 def test_helper_appends_to_existing_args():
     env = {"LIBTPU_INIT_ARGS": "--foo=1"}
     assert set_serving_tpu_flags(env=env) is True
-    assert env["LIBTPU_INIT_ARGS"] == f"--foo=1 {FLAG}=65536"
+    assert env["LIBTPU_INIT_ARGS"] == f"--foo=1 {FLAGS}"
 
 
 def test_helper_respects_user_scoped_vmem_setting():
     env = {"LIBTPU_INIT_ARGS": f"{FLAG}=32768"}
     assert set_serving_tpu_flags(env=env) is True  # active, untouched
     assert env["LIBTPU_INIT_ARGS"] == f"{FLAG}=32768"
+
+
+def test_helper_respects_user_rwb_setting():
+    env = {"LIBTPU_INIT_ARGS": "--xla_tpu_rwb_fusion=true"}
+    assert set_serving_tpu_flags(env=env) is True  # active, untouched
+    assert env["LIBTPU_INIT_ARGS"] == "--xla_tpu_rwb_fusion=true"
 
 
 def test_helper_opt_out():

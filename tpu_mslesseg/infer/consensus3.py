@@ -44,13 +44,20 @@ PLANES = ("axial", "coronal", "sagital")
 
 
 def set_serving_tpu_flags(env=None) -> bool:
-    """Export the measured-win serving flag into LIBTPU_INIT_ARGS.
+    """Export the measured-win serving flags into LIBTPU_INIT_ARGS.
 
     Scoped VMEM 64 MiB is the measured knee for the fused serving
     program on v5e (round-4 flag sweep, drift-checked baseline repeat:
     3665.6 vs 3547.7 slices/s default, +3.3%; 96 MiB regresses to
-    3487.5, 32 MiB crashes the worker). The flag REGRESSES the b=128
-    train step by 5%, and the per-program `jax.jit compiler_options`
+    3487.5, 32 MiB crashes the worker). The round-5 combination sweep
+    (scripts_dev/sweep_serving_flags_r5.py) added
+    ``--xla_tpu_rwb_fusion=false`` on top: 3719.0 vs 3643.8/3661.7
+    slices/s for 64 MiB alone (+1.8%, drift band ±0.25%), with
+    voxel-exact outputs (position-weighted checksums of all plane
+    volumes + consensus match bitwise). Limits above 64 MiB regress
+    monotonically (80M 3512.9, 96M 3484.8, 128M 3405.8); rwb-off alone
+    is 3593.8 — the knobs only win together. Scoped VMEM 64M REGRESSES
+    the b=128 train step by 5% (rwb-off was not measured there), and the per-program `jax.jit compiler_options`
     route is catastrophic through the axon tunnel (measured 180 slices/s
     — 20× slower than default; computation-level env overrides appear to
     defeat the remote executor's caching), so the deployment is the
@@ -63,8 +70,9 @@ def set_serving_tpu_flags(env=None) -> bool:
 
     ``env``: the mapping to mutate (default ``os.environ``) — bench.py
     passes its subprocess env dict. Respects a user-provided scoped-vmem
-    setting; opt out with TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when
-    the flag is (already or now) active in ``env``."""
+    or rwb-fusion setting (either present → untouched); opt out with
+    TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when the serving flags are
+    (already or now) active in ``env``."""
     import os
 
     if env is None:
@@ -72,10 +80,12 @@ def set_serving_tpu_flags(env=None) -> bool:
     if env.get("TPU_MSLESSEG_NO_TPU_FLAGS") == "1":
         return False
     cur = env.get("LIBTPU_INIT_ARGS", "")
-    if "--xla_tpu_scoped_vmem_limit_kib" in cur:
-        return True
+    if ("--xla_tpu_scoped_vmem_limit_kib" in cur
+            or "--xla_tpu_rwb_fusion" in cur):
+        return True  # user manages the TPU flags: leave untouched
     env["LIBTPU_INIT_ARGS"] = (
         cur + " --xla_tpu_scoped_vmem_limit_kib=65536"
+        " --xla_tpu_rwb_fusion=false"
     ).strip()
     return True
 

@@ -189,7 +189,7 @@ def _serving_flag_enabled() -> bool:
     return os.environ.get("TPU_MSLESSEG_NO_TPU_FLAGS") != "1"
 
 
-def _serving_child() -> tuple[dict | None, bool]:
+def _serving_child() -> tuple[dict | None, bool, bool]:
     """Run the TPU serving measurement in a subprocess whose env carries
     the measured-win serving flags (scoped VMEM 64 MiB + rwb-fusion off:
     3719 slices/s vs 3548 default on v5e, round-4+5 sweeps) — built
@@ -202,8 +202,11 @@ def _serving_child() -> tuple[dict | None, bool]:
     unflagged; the tunnel allows exactly one live TPU client, so the
     child runs BEFORE this process touches the backend.
 
-    Returns ``(fields, relay_ok)``. ``fields`` is None on any failure
-    (parent then measures serving in-process, unflagged). ``relay_ok``
+    Returns ``(fields, relay_ok, flagged)``. ``fields`` is None on any
+    failure (parent then measures serving in-process, unflagged).
+    ``flagged`` is the helper's verdict: True iff the child env carries
+    the MEASURED config (a user-managed LIBTPU_INIT_ARGS that overrides
+    it runs anyway but must not be labeled serving_vmem_flag). ``relay_ok``
     is False when the relay is gone or unsafe to touch: a killed child
     (timeout) wedges the tunnel for ~1-2 min and a device op on a dead
     relay hangs FOREVER, so the parent must re-probe — with the recovery
@@ -219,29 +222,32 @@ def _serving_child() -> tuple[dict | None, bool]:
     from tpu_mslesseg.infer.consensus3 import set_serving_tpu_flags
 
     env = dict(os.environ)
-    set_serving_tpu_flags(env=env)
+    flagged = set_serving_tpu_flags(env=env)
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--serve-child"],
             env=env, capture_output=True, text=True, timeout=1200,
         )
     except subprocess.TimeoutExpired:
-        # the killed client wedges the relay; wait out the recovery
-        # window, then trust only a fresh probe
-        _t.sleep(90)
-        return None, _tpu_tunnel_alive()
+        # the killed client wedges the relay; wait out the documented
+        # ~1-2 min recovery window (sleep ABOVE its upper edge), then
+        # trust only a fresh probe. Measured r5: after back-to-back
+        # killed clients the first device op can still take minutes —
+        # slow, but it completes; only a closed port means hang-forever.
+        _t.sleep(150)
+        return None, _tpu_tunnel_alive(), flagged
     except Exception:
-        return None, _tpu_tunnel_alive()
+        return None, _tpu_tunnel_alive(), flagged
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if r.returncode != 0 or not lines:
-        return None, _tpu_tunnel_alive()
+        return None, _tpu_tunnel_alive(), flagged
     try:
         out = json.loads(lines[-1])
     except ValueError:
-        return None, _tpu_tunnel_alive()
+        return None, _tpu_tunnel_alive(), flagged
     if out.get("tpu_dead") or out.get("backend") == "cpu":
-        return None, False
-    return (out if "value" in out else None), True
+        return None, False, flagged
+    return (out if "value" in out else None), True, flagged
 
 
 def main(serve_only: bool = False):
@@ -258,7 +264,7 @@ def main(serve_only: bool = False):
     tpu_dead = not _tpu_tunnel_alive()
     serve_child = None
     if not serve_only and not tpu_dead and _serving_flag_enabled():
-        serve_child, relay_ok = _serving_child()
+        serve_child, relay_ok, child_flagged = _serving_child()
         tpu_dead = tpu_dead or not relay_ok
     if tpu_dead:
         jax.config.update("jax_platforms", "cpu")
@@ -271,6 +277,15 @@ def main(serve_only: bool = False):
         enable_compilation_cache(cpu_cache_dir())
     else:
         enable_compilation_cache()
+
+    if not tpu_dead and jax.default_backend() == "cpu":
+        # No TPU backend resolved at all — e.g. a host WITHOUT the axon
+        # plugin dir, where the port probe is vacuously true. Degrade
+        # exactly like a dead relay (reduced scale, flagged output)
+        # instead of grinding the full chip workload through XLA-CPU;
+        # in the serve-child this also makes the child finish fast and
+        # report backend=cpu so the parent rejects it (ADVICE r4 class).
+        tpu_dead = True
 
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model
@@ -467,9 +482,11 @@ def main(serve_only: bool = False):
         "reference_runnable": reference_runnable,
         "patients_per_dispatch": len(patients),
     })
-    if serve_child is not None:
+    if serve_child is not None and child_flagged:
         out["serving_vmem_flag"] = True  # measured in the flagged child
-        # (scoped VMEM 64 MiB + rwb-fusion off — the r4+r5 sweep winner)
+        # (scoped VMEM 64 MiB + rwb-fusion off — the r4+r5 sweep winner;
+        # a user-managed LIBTPU_INIT_ARGS makes child_flagged False and
+        # the label is omitted: the measured config did not run)
     if tpu_dead:
         out["tpu_unavailable"] = True  # relay probe failed; value is the
         # XLA-CPU floor at reduced scale, NOT a chip number

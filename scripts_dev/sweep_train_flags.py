@@ -7,9 +7,15 @@ first AND last to detect host/tunnel drift. The train step was only
 ever measured at 64M scoped VMEM (−5%); this sweeps the intermediate
 points plus the latency-hiding scheduler.
 
-Each variant gets its OWN persistent-cache subdirectory: LIBTPU_INIT_ARGS
-is not part of jax's compilation-cache key, so a shared cache could hand
-variant B the executable compiled under variant A's flags.
+Each variant gets its OWN persistent-cache subdirectory. NOTE (verified
+against jax._src.cache_key._hash_xla_flags): LIBTPU_INIT_ARGS *IS* part
+of jax's compilation-cache key — the env var's flags are hashed exactly
+like XLA_FLAGS — so a shared cache cannot hand variant B the executable
+compiled under variant A's flags (the serving sweeps share the standard
+cache safely; their first/last anchor repeats reproducing their own
+config's number, not any other variant's, confirm it empirically).
+Per-variant subdirectories here are isolation hygiene only: they keep
+the sweep from writing b=128 train-step entries into the product cache.
 
 Run ON TPU (sequentially — one TPU process at a time):
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts_dev/sweep_train_flags.py

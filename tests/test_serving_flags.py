@@ -42,15 +42,23 @@ def test_helper_appends_to_existing_args():
 
 
 def test_helper_respects_user_scoped_vmem_setting():
+    # user-managed knob with a NON-measured value: untouched, and the
+    # helper reports False so bench never labels it serving_vmem_flag
     env = {"LIBTPU_INIT_ARGS": f"{FLAG}=32768"}
-    assert set_serving_tpu_flags(env=env) is True  # active, untouched
+    assert set_serving_tpu_flags(env=env) is False
     assert env["LIBTPU_INIT_ARGS"] == f"{FLAG}=32768"
 
 
 def test_helper_respects_user_rwb_setting():
     env = {"LIBTPU_INIT_ARGS": "--xla_tpu_rwb_fusion=true"}
-    assert set_serving_tpu_flags(env=env) is True  # active, untouched
+    assert set_serving_tpu_flags(env=env) is False  # untouched, not ours
     assert env["LIBTPU_INIT_ARGS"] == "--xla_tpu_rwb_fusion=true"
+
+
+def test_helper_true_when_user_env_matches_measured_config():
+    env = {"LIBTPU_INIT_ARGS": FLAGS}
+    assert set_serving_tpu_flags(env=env) is True  # measured config runs
+    assert env["LIBTPU_INIT_ARGS"] == FLAGS
 
 
 def test_helper_opt_out():
@@ -179,3 +187,24 @@ def test_rapido_defaults():
     assert orch.resolver_rapido(_args(paciente_id="P39")) is False
     assert orch.resolver_rapido(_args(paciente_id="P39", rapido=True)) is True
     assert orch.resolver_rapido(_args(completo=True, sin_rapido=True)) is False
+
+
+# ------------------------------------------- SPMD serving mesh gating
+
+def test_serving_mesh_gated_to_single_process(monkeypatch):
+    """Multi-host runs must NOT build a serving mesh: jax.devices() is
+    the GLOBAL list there, and device_put/device_get on shards living on
+    non-addressable devices is invalid — each process serves its own
+    patients unsharded instead (rapido._mesh_para_servicio)."""
+    import jax
+
+    from tpu_mslesseg.pipeline import rapido
+
+    # single process, multi-device (the 8-device virtual CPU mesh of
+    # tests/conftest.py): SPMD serving is on
+    if len(jax.devices()) > 1:
+        assert rapido._mesh_para_servicio() is not None
+
+    # simulated multi-host: gated off regardless of device count
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert rapido._mesh_para_servicio() is None

@@ -71,22 +71,27 @@ def set_serving_tpu_flags(env=None) -> bool:
     ``env``: the mapping to mutate (default ``os.environ``) — bench.py
     passes its subprocess env dict. Respects a user-provided scoped-vmem
     or rwb-fusion setting (either present → untouched); opt out with
-    TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True when the serving flags are
-    (already or now) active in ``env``."""
+    TPU_MSLESSEG_NO_TPU_FLAGS=1. Returns True iff the MEASURED config is
+    (already or now) in effect in ``env`` — a user-managed env that sets
+    either knob to anything else returns False, so callers (bench.py's
+    ``serving_vmem_flag`` label) never report the measured configuration
+    when something else actually runs."""
     import os
 
     if env is None:
         env = os.environ
     if env.get("TPU_MSLESSEG_NO_TPU_FLAGS") == "1":
         return False
+    measured = (
+        "--xla_tpu_scoped_vmem_limit_kib=65536",
+        "--xla_tpu_rwb_fusion=false",
+    )
     cur = env.get("LIBTPU_INIT_ARGS", "")
     if ("--xla_tpu_scoped_vmem_limit_kib" in cur
             or "--xla_tpu_rwb_fusion" in cur):
-        return True  # user manages the TPU flags: leave untouched
-    env["LIBTPU_INIT_ARGS"] = (
-        cur + " --xla_tpu_scoped_vmem_limit_kib=65536"
-        " --xla_tpu_rwb_fusion=false"
-    ).strip()
+        # user manages these knobs: leave untouched, report honestly
+        return all(f in cur for f in measured)
+    env["LIBTPU_INIT_ARGS"] = (cur + " " + " ".join(measured)).strip()
     return True
 
 

@@ -61,6 +61,23 @@ def verificar_folds_consenso(modelo, epochs, folds, root=None) -> bool:
     return True
 
 
+def folds_del_experimento(k_folds: int, paciente_id=None) -> list:
+    """The folds one invocation touches: the patient's single fold in
+    patient mode, all k in full mode. Shared by the orchestrator's
+    stage loop and `invocacion_solo_servicio` so the two cannot drift."""
+    return (
+        [calcular_fold(paciente_id, k_folds)]
+        if paciente_id
+        else list(range(1, k_folds + 1))
+    )
+
+
+def folds_sin_entrenar(modelo, epochs: int, folds) -> list:
+    """Folds without trained weights — the orchestrator's own stage-2
+    training condition (shared with `invocacion_solo_servicio`)."""
+    return [k for k in folds if not existe_modelo_entrenado(modelo, epochs, k)]
+
+
 def ejecutar_pipeline(
     modelo: Modelo,
     epochs: int = 50,
@@ -92,10 +109,8 @@ def ejecutar_pipeline(
             modelo, paciente=paciente, k_folds=modelo.k_folds, limpiar=limpiar
         )
 
-    folds = (
-        [calcular_fold(paciente.id, modelo.k_folds)]
-        if paciente is not None
-        else list(range(1, modelo.k_folds + 1))
+    folds = folds_del_experimento(
+        modelo.k_folds, paciente.id if paciente is not None else None
     )
 
     # Stage 2: training (optional; skipped per-fold when weights exist).
@@ -103,7 +118,7 @@ def ejecutar_pipeline(
     # all folds in one compiled program over the (fold, data) mesh; the
     # sequential per-fold path remains for patient mode / --train_secuencial
     # / partially-trained experiments (per-fold skip is finer-grained).
-    untrained = [k for k in folds if not existe_modelo_entrenado(modelo, epochs, k)]
+    untrained = folds_sin_entrenar(modelo, epochs, folds)
     if (
         entrenar and paciente is None and train_paralelo
         and len(folds) > 1 and len(untrained) == len(folds)
@@ -229,20 +244,17 @@ def invocacion_solo_servicio(args, modelo) -> bool:
     """True when THIS invocation cannot reach a training step — the
     condition for exporting the serving-only TPU flag (VERDICT r4 #1).
 
-    Mirrors the orchestrator's own training decision: stage 2 runs only
-    with ``--entrenar`` AND at least one fold without trained weights
-    (``ejecutar_pipeline`` lines above). The scoped-VMEM 64 MiB flag is a
-    measured +3.3% on the fused serving program but a measured −5% on the
-    b=128 train step, and libtpu reads the env once at plugin init — so
-    one process must pick a side BEFORE the first device op."""
+    Built from the SAME helpers the orchestrator's stage-2 decision
+    uses (`folds_del_experimento` + `folds_sin_entrenar`): stage 2 runs
+    only with ``--entrenar`` AND at least one fold without trained
+    weights. The scoped-VMEM 64 MiB flag is a measured +3.3% on the
+    fused serving program but a measured −5% on the b=128 train step,
+    and libtpu reads the env once at plugin init — so one process must
+    pick a side BEFORE the first device op."""
     if not args.entrenar:
         return True
-    folds = (
-        [calcular_fold(args.paciente_id, args.k_folds)]
-        if args.paciente_id
-        else range(1, args.k_folds + 1)
-    )
-    return all(existe_modelo_entrenado(modelo, args.epochs, k) for k in folds)
+    folds = folds_del_experimento(args.k_folds, args.paciente_id)
+    return not folds_sin_entrenar(modelo, args.epochs, folds)
 
 
 def parsear_args(argv=None):

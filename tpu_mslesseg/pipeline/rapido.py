@@ -272,6 +272,26 @@ def _lote_arrays(grupo, planes, vol_shape):
     return slices, idx, gts
 
 
+def _mesh_para_servicio():
+    """Data-parallel serving mesh, or None.
+
+    Only under a SINGLE-process (single-controller) run with more than
+    one device: under multi-host (jax.distributed initialized by the
+    CLI), ``jax.devices()`` is the GLOBAL list, so a mesh built here
+    would span non-addressable devices — ``jax.device_put`` of the
+    host-local slice arrays and ``jax.device_get`` of the sharded
+    outputs are invalid on those shards. Multi-host pipelines keep the
+    per-process unsharded serving path (each process serves its own
+    patients); single-host multi-chip gets the SPMD `lote` path."""
+    import jax
+
+    from tpu_mslesseg.core import mesh as meshlib
+
+    if jax.process_count() > 1 or len(jax.devices()) < 2:
+        return None
+    return meshlib.make_mesh()
+
+
 def ejecutar_fold_rapido(
     modelo, epochs: int = 50, k_folds: int = 5, fold_test: int = 1,
     umbral: int = 2, limpiar: bool = False, lote_size: int = LOTE_PACIENTES,
@@ -288,13 +308,14 @@ def ejecutar_fold_rapido(
     results are simply not written). Dispatch is async — batch i+1
     enqueues while batch i's volumes fetch.
 
-    With more than one device visible, serving runs SPMD: a pure
-    data-parallel mesh over all devices, each patient's slice axis
-    sharded over 'data' (the `lote` mesh path — OOB-padded, equality
-    pinned vs the unsharded program in tests/test_consensus3.py)."""
+    With more than one device visible in a single-process run, serving
+    runs SPMD: a pure data-parallel mesh over all devices, each
+    patient's slice axis sharded over 'data' (the `lote` mesh path —
+    OOB-padded, equality pinned vs the unsharded program in
+    tests/test_consensus3.py; see `_mesh_para_servicio` for why
+    multi-host keeps the unsharded path)."""
     import jax
 
-    from tpu_mslesseg.core import mesh as meshlib
     from tpu_mslesseg.infer.consensus3 import ConsensusPredictor
     from tpu_mslesseg.model.yolo11 import create_model_from_env
     from tpu_mslesseg.pipeline.modelo import Modelo
@@ -347,7 +368,7 @@ def ejecutar_fold_rapido(
         grupos.setdefault((p["planes"], p["gt"].shape), []).append(p)
 
     model, _, imgsz = create_model_from_env()
-    mesh = meshlib.make_mesh() if len(jax.devices()) > 1 else None
+    mesh = _mesh_para_servicio()
     if mesh is not None:
         logger.info(
             f"🕸️ Servicio SPMD: eje de cortes repartido sobre "

@@ -490,6 +490,15 @@ def main(serve_only: bool = False):
     if tpu_dead:
         out["tpu_unavailable"] = True  # relay probe failed; value is the
         # XLA-CPU floor at reduced scale, NOT a chip number
+    elif sps < 500:
+        # The relay has a SICK mode (observed r5): ports open, ops
+        # complete, but every dispatch pays ~100x its healthy latency
+        # (a trivial matmul compile took 783s; a <1ms conv, 7.9s/call).
+        # Every healthy chip measurement since round 2 is >=600 slices/s
+        # (601.8 r2 pre-fusion floor), so a TPU-backend number this far
+        # below is an environment failure, not a regression — label it
+        # so a degraded-tunnel round isn't read at face value.
+        out["tunnel_degraded_suspected"] = True
     if cpu_sps is not None:
         out["measured_cpu_sps"] = round(cpu_sps, 2)
         out["cpu_floor_host"] = cpu_host
